@@ -1,0 +1,320 @@
+"""Batched WFST token-passing beam search on TPU.
+
+Replaces Kaldi's `SingleUtteranceNnet3IncrementalDecoder` /
+`BatchedThreadedNnet3CudaOnlinePipeline` beam search (reference
+src/recognizer.cc:310, src/batch_model.cc:90-92).  The CPU reference walks
+linked-list tokens; this kernel is the TPU-shaped equivalent of the CUDA
+decoder's design (papers 1804.03243 / 1910.10032): fixed-size frontier,
+arc expansion over a flattened CSR table, dedup by next-state via
+scatter-min, beam + max-active pruning via top-k, backpointer records
+emitted per frame for host traceback.
+
+All shapes are static:
+  K = max_active (frontier slots; padded with sentinel state S, cost +inf)
+  E = emitting-expansion budget, Ee = epsilon-expansion budget
+Each decoded frame produces (1 + eps_iters) record levels of K slots each;
+traceback walks levels backwards on the host.
+
+Batch dimension = channels (streams); a single jitted scan advances all
+channels one chunk at a time.  Dead/padded frames pass the frontier through
+unchanged (valid mask), which is how dynamic stream join/leave stays inside
+one fixed-shape program (reference: `reset_on_endpoint`, batch_model.cc:72).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.fst import EPSILON, DecodingGraph
+
+INF = jnp.float32(jnp.inf)
+BIG_I32 = jnp.int32(2**31 - 1)
+
+
+@dataclasses.dataclass
+class DecodeParams:
+    """Pruning semantics match the reference defaults (src/model.cc:134-147)."""
+
+    beam: float = 13.0
+    max_active: int = 7000
+    lattice_beam: float = 6.0
+    acoustic_scale: float = 1.0
+
+
+class BatchViterbi:
+    """Channel-batched streaming Viterbi over one decoding graph."""
+
+    def __init__(
+        self,
+        graph: DecodingGraph,
+        params: DecodeParams,
+        expand_budget: Optional[int] = None,
+        eps_expand_budget: Optional[int] = None,
+    ):
+        self.graph = graph
+        self.params = params
+        S = graph.num_states
+        self.S = S
+        K = min(params.max_active, max(S, 1))
+        self.K = K
+        # top_k(k=K) needs at least K candidates, so E >= K always.
+        self.E = expand_budget or max(K, 128, min(K * max(graph.max_em_out, 1), 1 << 18))
+        self.Ee = eps_expand_budget or max(
+            128, min(K * max(graph.max_eps_out, 1), 1 << 18)
+        )
+        self.eps_iters = graph.eps_depth
+        self.has_eps = graph.num_eps_arcs > 0
+
+        # device tables; state-indexed arrays padded so sentinel state S is a
+        # zero-out-degree, non-final state.
+        g = graph
+        self.em_off = jnp.asarray(np.append(g.em_off, g.em_off[-1]))
+        self.em_pdf = jnp.asarray(g.em_pdf) if len(g.em_pdf) else jnp.zeros((1,), jnp.int32)
+        self.em_olabel = jnp.asarray(g.em_olabel) if len(g.em_olabel) else jnp.zeros((1,), jnp.int32)
+        self.em_w = jnp.asarray(g.em_w) if len(g.em_w) else jnp.zeros((1,), jnp.float32)
+        self.em_next = jnp.asarray(g.em_next) if len(g.em_next) else jnp.zeros((1,), jnp.int32)
+        self.eps_off = jnp.asarray(np.append(g.eps_off, g.eps_off[-1]))
+        self.eps_olabel = jnp.asarray(g.eps_olabel) if len(g.eps_olabel) else jnp.zeros((1,), jnp.int32)
+        self.eps_w = jnp.asarray(g.eps_w) if len(g.eps_w) else jnp.zeros((1,), jnp.float32)
+        self.eps_next = jnp.asarray(g.eps_next) if len(g.eps_next) else jnp.zeros((1,), jnp.int32)
+        self.final_cost = jnp.asarray(np.append(g.final_cost, np.float32(np.inf)))
+
+        # initial frontier: epsilon closure of the start state, done exactly on
+        # host once (tiny).  Initial tokens carry an olabel prefix for traceback.
+        self._init_states, self._init_costs, self._init_prefixes = self._initial_closure()
+
+        self._decode_jit = jax.jit(self._decode_chunk_impl)
+
+    # ------------------------------------------------------------------ init
+
+    def _initial_closure(self):
+        import heapq
+
+        g = self.graph
+        costs = {g.start: 0.0}
+        prefix: dict[int, tuple] = {g.start: ()}
+        heap = [(0.0, g.start)]
+        while heap:
+            c, s = heapq.heappop(heap)
+            if c > costs.get(s, np.inf):
+                continue
+            for i in range(g.eps_off[s], g.eps_off[s + 1]):
+                ns, w, ol = int(g.eps_next[i]), float(g.eps_w[i]), int(g.eps_olabel[i])
+                nc = c + w
+                if nc < costs.get(ns, np.inf) - 1e-12:
+                    costs[ns] = nc
+                    prefix[ns] = prefix[s] + ((ol,) if ol != EPSILON else ())
+                    heapq.heappush(heap, (nc, ns))
+        items = sorted(costs.items(), key=lambda kv: kv[1])[: self.K]
+        states = np.full(self.K, self.S, np.int32)
+        cost = np.full(self.K, np.inf, np.float32)
+        prefixes = []
+        for i, (s, c) in enumerate(items):
+            states[i] = s
+            cost[i] = c
+            prefixes.append(list(prefix[s]))
+        while len(prefixes) < self.K:
+            prefixes.append([])
+        return states, cost, prefixes
+
+    def init_frontier(self, batch: int):
+        return {
+            "state": jnp.tile(jnp.asarray(self._init_states)[None, :], (batch, 1)),
+            "cost": jnp.tile(jnp.asarray(self._init_costs)[None, :], (batch, 1)),
+        }
+
+    # ------------------------------------------------------------- expansion
+
+    def _expand(self, tok_state, tok_cost, off_table, budget):
+        """CSR arc expansion with a fixed budget.
+
+        Returns (tok_idx [budget], arc_idx [budget], mask [budget], overflow).
+        """
+        off = off_table[tok_state]
+        cnt = off_table[tok_state + 1] - off
+        cum = jnp.cumsum(cnt)
+        total = cum[-1]
+        e = jnp.arange(budget, dtype=jnp.int32)
+        tok = jnp.searchsorted(cum, e, side="right").astype(jnp.int32)
+        tok_c = jnp.minimum(tok, self.K - 1)
+        base = jnp.where(tok_c > 0, cum[tok_c - 1], 0).astype(jnp.int32)
+        arc = off[tok_c] + (e - base)
+        mask = e < total
+        arc = jnp.where(mask, arc, 0)
+        return tok_c, arc, mask, total > budget
+
+    def _dedup_prune(self, ns, cost, mask, extra_beam_ref=None):
+        """Scatter-min dedup by next state + top-K/beam prune.
+
+        ns/cost/mask: [N] candidates. Returns (sel [K] candidate indices,
+        new_state [K], new_cost [K], valid [K]).
+        """
+        S, K = self.S, self.K
+        beam = self.params.beam
+        nsm = jnp.where(mask, ns, S)
+        costm = jnp.where(mask, cost, INF)
+        table = jnp.full((S + 1,), INF).at[nsm].min(costm)
+        best_for_state = table[nsm]
+        win = (costm <= best_for_state) & mask
+        idx = jnp.arange(ns.shape[0], dtype=jnp.int32)
+        owner = jnp.full((S + 1,), BIG_I32).at[nsm].min(jnp.where(win, idx, BIG_I32))
+        winner = win & (idx == owner[nsm])
+        wcost = jnp.where(winner, costm, INF)
+        neg, sel = jax.lax.top_k(-wcost, K)
+        new_cost = -neg
+        best = new_cost[0]
+        keep = new_cost <= best + beam
+        new_state = jnp.where(keep, nsm[sel], S)
+        new_cost = jnp.where(keep, new_cost, INF)
+        return sel, new_state, new_cost, keep
+
+    # ------------------------------------------------------------- one frame
+
+    def _frame_step(self, frontier, loglike, valid):
+        """Advance one channel one frame.
+
+        loglike: [n_pdf] acoustic row. valid: scalar bool.
+        Returns new frontier + per-level records.
+        """
+        K = self.K
+        scale = self.params.acoustic_scale
+        tok_state, tok_cost = frontier["state"], frontier["cost"]
+
+        # ---- emitting expansion
+        tok, arc, mask, _ovf = self._expand(tok_state, tok_cost, self.em_off, self.E)
+        pdf = self.em_pdf[arc]
+        cost = tok_cost[tok] + self.em_w[arc] - scale * loglike[pdf]
+        ns = self.em_next[arc]
+        sel, st1, c1, keep = self._dedup_prune(ns, cost, mask)
+        rec_levels = []
+        em_rec = {
+            "prev": jnp.where(keep, tok[sel], -1),
+            "olabel": jnp.where(keep, self.em_olabel[arc[sel]], 0),
+            "pdf": jnp.where(keep, pdf[sel], -1),
+        }
+        rec_levels.append(em_rec)
+        cur_state, cur_cost = st1, c1
+
+        # ---- epsilon closure levels
+        for _ in range(self.eps_iters):
+            toke, arce, maske, _ovfe = self._expand(
+                cur_state, cur_cost, self.eps_off, self.Ee
+            )
+            ecost = cur_cost[toke] + self.eps_w[arce]
+            ens = self.eps_next[arce]
+            # carry candidates keep existing tokens alive through the level
+            slot = jnp.arange(K, dtype=jnp.int32)
+            all_ns = jnp.concatenate([cur_state, ens])
+            all_cost = jnp.concatenate([cur_cost, ecost])
+            all_mask = jnp.concatenate([cur_state != self.S, maske])
+            all_prev = jnp.concatenate([slot, toke])
+            all_ol = jnp.concatenate([jnp.zeros(K, jnp.int32), self.eps_olabel[arce]])
+            sel2, st2, c2, keep2 = self._dedup_prune(all_ns, all_cost, all_mask)
+            rec_levels.append(
+                {
+                    "prev": jnp.where(keep2, all_prev[sel2], -1),
+                    "olabel": jnp.where(keep2, all_ol[sel2], 0),
+                    "pdf": jnp.full((K,), -1, jnp.int32),
+                }
+            )
+            cur_state, cur_cost = st2, c2
+
+        # ---- valid masking: pass-through when frame is padding
+        slot = jnp.arange(K, dtype=jnp.int32)
+        new_frontier = {
+            "state": jnp.where(valid, cur_state, tok_state),
+            "cost": jnp.where(valid, cur_cost, tok_cost),
+        }
+        ident = {
+            "prev": slot,
+            "olabel": jnp.zeros(K, jnp.int32),
+            "pdf": jnp.full((K,), -1, jnp.int32),
+        }
+        records = {
+            k: jnp.stack(
+                [jnp.where(valid, lvl[k], ident[k]) for lvl in rec_levels], 0
+            )
+            for k in ("prev", "olabel", "pdf")
+        }
+        return new_frontier, records
+
+    # ------------------------------------------------------------- chunk API
+
+    def _decode_chunk_impl(self, frontier, loglikes, valid):
+        """loglikes: [B, T, P]; valid: [B, T] bool."""
+
+        def step(car, xs):
+            ll, v = xs
+            f2, rec = jax.vmap(self._frame_step)(car, ll, v)
+            return f2, rec
+
+        xs = (jnp.swapaxes(loglikes, 0, 1), jnp.swapaxes(valid, 0, 1))
+        frontier, recs = jax.lax.scan(step, frontier, xs)
+        # recs: [T, B, L, K] -> [B, T, L, K]
+        recs = {k: jnp.swapaxes(v, 0, 1) for k, v in recs.items()}
+        best_cost = jnp.min(frontier["cost"], axis=1)
+        final_tot = frontier["cost"] + self.final_cost[frontier["state"]]
+        best_final_cost = jnp.min(final_tot, axis=1)
+        return frontier, recs, best_cost, best_final_cost
+
+    def decode_chunk(self, frontier, loglikes, valid=None):
+        if valid is None:
+            valid = jnp.ones(loglikes.shape[:2], bool)
+        return self._decode_jit(frontier, loglikes, valid)
+
+    # ------------------------------------------------------------ host side
+
+    def traceback(
+        self,
+        records: list[dict],
+        frontier,
+        channel: int,
+        use_final: bool = True,
+    ) -> tuple[float, list[int], list[int]]:
+        """Best-path traceback on host.
+
+        records: list of per-chunk numpy record pytrees ({prev, olabel, pdf}
+        each [B, T, L, K]).  Returns (cost, olabels, per-frame pdf alignment).
+        """
+        state = np.asarray(frontier["state"][channel])
+        cost = np.asarray(frontier["cost"][channel])
+        fc = np.asarray(self.final_cost)[state]
+        tot = cost + fc
+        if use_final and np.isfinite(tot).any():
+            slot = int(np.argmin(tot))
+            best_cost = float(tot[slot])
+        else:
+            slot = int(np.argmin(cost))
+            best_cost = float(cost[slot])
+        if not np.isfinite(cost[slot]):
+            return np.inf, [], []
+
+        olabels: list[int] = []
+        pdfs: list[int] = []
+        for rec in reversed(records):
+            prev = np.asarray(rec["prev"][channel])  # [T, L, K]
+            olab = np.asarray(rec["olabel"][channel])
+            pdf = np.asarray(rec["pdf"][channel])
+            T, L, _ = prev.shape
+            for t in range(T - 1, -1, -1):
+                for lvl in range(L - 1, -1, -1):
+                    if slot < 0:
+                        return best_cost, [], []
+                    ol = int(olab[t, lvl, slot])
+                    if ol != 0:
+                        olabels.append(ol)
+                    p = int(pdf[t, lvl, slot])
+                    if lvl == 0 and p >= 0:
+                        pdfs.append(p)
+                    slot = int(prev[t, lvl, slot])
+        # prepend initial-closure olabel prefix of the starting slot
+        if 0 <= slot < len(self._init_prefixes):
+            olabels.extend(reversed(self._init_prefixes[slot]))
+        olabels.reverse()
+        pdfs.reverse()
+        return best_cost, olabels, pdfs
