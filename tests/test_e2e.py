@@ -1,0 +1,193 @@
+"""End-to-end API tests against a trained synthetic model, mirroring the
+reference's example-based feature tests (python/example/test_simple.py,
+test_words.py, test_reset.py, test_empty.py, test_alternatives.py...).
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import vosk_tpu
+from vosk_tpu.utils import toydata
+
+TOY_DIR = "/tmp/vosk_tpu_toy_model_v1"
+
+
+@pytest.fixture(scope="module")
+def model():
+    if not os.path.exists(os.path.join(TOY_DIR, "vosk_tpu_model.json")):
+        toydata.build_toy_model(TOY_DIR, train_steps=400)
+    return vosk_tpu.Model(TOY_DIR)
+
+
+def wav_bytes(words, seed=123, sil=True):
+    wav = toydata.make_test_wav(words, seed=seed, sil_between=sil)
+    return np.clip(wav, -32768, 32767).astype("<i2").tobytes()
+
+
+def test_simple_streaming(model):
+    """Chunked streaming decode -> final text (reference test_simple.py)."""
+    want = ["one", "five", "zero", "three"]
+    data = wav_bytes(want)
+    rec = vosk_tpu.KaldiRecognizer(model, 16000)
+    n_endpoints = 0
+    for i in range(0, len(data), 4000):
+        if rec.AcceptWaveform(data[i : i + 4000]):
+            n_endpoints += 1
+            json.loads(rec.Result())
+        else:
+            json.loads(rec.PartialResult())
+    res = json.loads(rec.FinalResult())
+    assert res["text"] == " ".join(want)
+
+
+def test_words_output(model):
+    """Word timings enabled (reference test_words.py)."""
+    want = ["seven", "two"]
+    rec = vosk_tpu.KaldiRecognizer(model, 16000)
+    rec.SetWords(True)
+    rec.AcceptWaveform(wav_bytes(want, seed=5))
+    res = json.loads(rec.FinalResult())
+    assert res["text"] == "seven two"
+    assert "result" in res
+    words = res["result"]
+    assert [w["word"] for w in words] == want
+    for w in words:
+        assert set(w) == {"conf", "start", "end", "word"}
+        assert 0 <= w["start"] < w["end"] < 5.0
+    # words are in temporal order and roughly phone-length
+    assert words[0]["end"] <= words[1]["start"] + 0.1
+
+
+def test_partial_result_schema(model):
+    rec = vosk_tpu.KaldiRecognizer(model, 16000)
+    data = wav_bytes(["four"], seed=7)
+    rec.AcceptWaveform(data[: len(data) // 2])
+    p = json.loads(rec.PartialResult())
+    assert "partial" in p
+    rec.SetPartialWords(True)
+    rec.AcceptWaveform(data[len(data) // 2 :])
+    p = json.loads(rec.PartialResult())
+    assert "partial" in p
+
+
+def test_empty_input(model):
+    """Empty input edge case (reference test_empty.py)."""
+    rec = vosk_tpu.KaldiRecognizer(model, 16000)
+    assert rec.AcceptWaveform(b"") == 0
+    res = json.loads(rec.FinalResult())
+    assert res["text"] == ""
+
+
+def test_reset_mid_stream(model):
+    """Reset continues recognition from scratch (reference test_reset.py)."""
+    rec = vosk_tpu.KaldiRecognizer(model, 16000)
+    rec.AcceptWaveform(wav_bytes(["one"], seed=9))
+    rec.Reset()
+    rec.AcceptWaveform(wav_bytes(["six"], seed=10))
+    res = json.loads(rec.FinalResult())
+    assert res["text"].endswith("six")
+
+
+def test_sequential_utterances_time_offsets(model):
+    """After Result(), timestamps keep absolute time
+    (reference recognizer.cc:457-458 frame_offset_ bookkeeping)."""
+    rec = vosk_tpu.KaldiRecognizer(model, 16000)
+    rec.SetWords(True)
+    rec.AcceptWaveform(wav_bytes(["two"], seed=11))
+    r1 = json.loads(rec.Result())
+    rec.AcceptWaveform(wav_bytes(["seven"], seed=12))
+    r2 = json.loads(rec.FinalResult())
+    assert r1["text"] == "two"
+    assert r2["text"] == "seven"
+    t1 = r1["result"][-1]["end"]
+    t2 = r2["result"][0]["start"]
+    assert t2 >= t1 - 0.2  # second utterance continues on the time axis
+
+
+def test_max_alternatives(model):
+    rec = vosk_tpu.KaldiRecognizer(model, 16000)
+    rec.SetMaxAlternatives(3)
+    rec.AcceptWaveform(wav_bytes(["five", "zero"], seed=13))
+    res = json.loads(rec.FinalResult())
+    assert "alternatives" in res
+    assert res["alternatives"][0]["text"] == "five zero"
+    assert "confidence" in res["alternatives"][0]
+
+
+def test_nlsml(model):
+    rec = vosk_tpu.KaldiRecognizer(model, 16000)
+    rec.SetMaxAlternatives(2)
+    rec.SetNLSML(True)
+    rec.AcceptWaveform(wav_bytes(["three"], seed=14))
+    out = rec.FinalResult()
+    assert out.startswith("<?xml")
+    assert "<instance>three</instance>" in out
+
+
+def test_grammar_recognizer(model):
+    """Phrase-list grammar (reference vosk_api.h:118-137, test_words.py:16)."""
+    rec = vosk_tpu.KaldiRecognizer(
+        model, 16000, json.dumps(["one two", "three four"])
+    )
+    rec.AcceptWaveform(wav_bytes(["one", "two"], seed=15))
+    res = json.loads(rec.FinalResult())
+    assert res["text"] == "one two"
+
+
+def test_grammar_oov_word_skipped(model):
+    rec = vosk_tpu.KaldiRecognizer(
+        model, 16000, json.dumps(["one nosuchword two"])
+    )
+    rec.AcceptWaveform(wav_bytes(["one", "two"], seed=16))
+    res = json.loads(rec.FinalResult())
+    assert res["text"] == "one two"
+
+
+def test_find_word(model):
+    assert model.FindWord("one") > 0
+    assert model.FindWord("notaword") == -1
+
+
+def test_endpoint_detection(model):
+    """Long trailing silence triggers an endpoint mid-stream."""
+    speech = toydata.make_test_wav(["one"], seed=17)
+    rng = np.random.default_rng(0)
+    silence = (60.0 * rng.standard_normal(16000 * 3)).astype(np.float32)
+    data = np.concatenate([speech, silence])
+    pcm = np.clip(data, -32768, 32767).astype("<i2").tobytes()
+    rec = vosk_tpu.KaldiRecognizer(model, 16000)
+    got_endpoint = False
+    for i in range(0, len(pcm), 3200):
+        if rec.AcceptWaveform(pcm[i : i + 3200]):
+            got_endpoint = True
+            res = json.loads(rec.Result())
+            assert res["text"] == "one"
+            break
+    assert got_endpoint
+
+
+def test_batch_recognizer(model):
+    """Batch pipeline (reference test_gpu_batch.py driver loop)."""
+    bm = vosk_tpu.BatchModel(TOY_DIR, max_batch_size=4)
+    texts = [["one", "two"], ["seven"], ["zero", "five", "six"]]
+    recs = [vosk_tpu.BatchRecognizer(bm, 16000) for _ in texts]
+    datas = [wav_bytes(t, seed=20 + i) for i, t in enumerate(texts)]
+    # interleave chunk submission across streams
+    pos = [0] * len(recs)
+    done = [False] * len(recs)
+    while not all(done):
+        for i, r in enumerate(recs):
+            if done[i]:
+                continue
+            if pos[i] < len(datas[i]):
+                r.AcceptWaveform(datas[i][pos[i] : pos[i] + 8000])
+                pos[i] += 8000
+            else:
+                r.FinishStream()
+                done[i] = True
+    bm.Wait()
+    for i, r in enumerate(recs):
+        res = json.loads(r.Result())
+        assert res["text"] == " ".join(texts[i]), (i, res)

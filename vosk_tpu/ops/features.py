@@ -300,13 +300,23 @@ class FeatureExtractor:
         # round up to 128 lanes for layout friendliness
         return ((cap + 127) // 128) * 128
 
-    def extract_chunk(self, state, chunk, key: Optional[jax.Array] = None):
+    def extract_chunk(
+        self,
+        state,
+        chunk,
+        key: Optional[jax.Array] = None,
+        n_samples=None,
+    ):
         """Streaming step. chunk: [B, S] fixed S -> (state', feats [B, F, dim],
         valid [B, F] bool) with F = stream_max_frames(S).  Masked frames are 0.
+        n_samples: optional [B] int32 — only chunk[b, :n_samples[b]] is real
+        data (prefix mask); defaults to S.
         """
-        return self._chunk_jit(state, chunk, key)
+        if n_samples is None:
+            n_samples = jnp.full((chunk.shape[0],), chunk.shape[1], jnp.int32)
+        return self._chunk_jit(state, chunk, key, n_samples)
 
-    def _extract_chunk_impl(self, state, chunk, key):
+    def _extract_chunk_impl(self, state, chunk, key, n_samples):
         fo = self.frame_opts
         B, S = chunk.shape
         F = self.stream_max_frames(S)
@@ -315,6 +325,7 @@ class FeatureExtractor:
 
         tail, tail_len = state["tail"], state["tail_len"]
         total, emitted = state["total_samples"], state["frames_emitted"]
+        n_s = n_samples.astype(jnp.int32)
 
         # concat tail + chunk into a working buffer [B, cap + S]
         buf = jnp.concatenate([tail, jnp.zeros((B, S), jnp.float32)], axis=1)
@@ -322,11 +333,11 @@ class FeatureExtractor:
         col = jax.lax.broadcasted_iota(jnp.int32, (B, cap + S), 1)
         src_idx = jnp.clip(col - tail_len[:, None], 0, S - 1)
         chunk_g = jnp.take_along_axis(chunk.astype(jnp.float32), src_idx, axis=1)
-        in_chunk = (col >= tail_len[:, None]) & (col < tail_len[:, None] + S)
+        in_chunk = (col >= tail_len[:, None]) & (col < tail_len[:, None] + n_s[:, None])
         buf = jnp.where(in_chunk, chunk_g, buf)
-        buf_len = tail_len + S
+        buf_len = tail_len + n_s
 
-        new_total = total + S
+        new_total = total + n_s
         total_ready = num_frames_ready(new_total, fo)
         n_new = (total_ready - emitted).astype(jnp.int32)  # <= F by construction
 

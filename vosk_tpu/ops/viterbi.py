@@ -278,8 +278,26 @@ class BatchViterbi:
     ) -> tuple[float, list[int], list[int]]:
         """Best-path traceback on host.
 
-        records: list of per-chunk numpy record pytrees ({prev, olabel, pdf}
-        each [B, T, L, K]).  Returns (cost, olabels, per-frame pdf alignment).
+        Returns (cost, olabels, per-frame pdf alignment).
+        """
+        cost, ols_frames, pdfs = self.traceback_with_frames(
+            records, frontier, channel, use_final
+        )
+        return cost, [o for o, _ in ols_frames], pdfs
+
+    def traceback_with_frames(
+        self,
+        records: list[dict],
+        frontier,
+        channel: int,
+        use_final: bool = True,
+    ) -> tuple[float, list[tuple[int, int]], list[int]]:
+        """Best-path traceback with frame indices.
+
+        records: list of per-chunk record pytrees ({prev, olabel, pdf} each
+        [B, T, L, K]).  Returns (cost, [(olabel, frame_idx)], pdf alignment)
+        where frame_idx counts *valid decoded frames* from utterance start
+        (identity records of masked frames don't count).
         """
         state = np.asarray(frontier["state"][channel])
         cost = np.asarray(frontier["cost"][channel])
@@ -294,8 +312,9 @@ class BatchViterbi:
         if not np.isfinite(cost[slot]):
             return np.inf, [], []
 
-        olabels: list[int] = []
-        pdfs: list[int] = []
+        # total valid frames = count of level-0 records with pdf >= 0 along
+        # the path; first pass collects raw entries, then frames are numbered.
+        raw: list[tuple[int, bool, int]] = []  # (olabel, is_frame_level, pdf)
         for rec in reversed(records):
             prev = np.asarray(rec["prev"][channel])  # [T, L, K]
             olab = np.asarray(rec["olabel"][channel])
@@ -305,16 +324,24 @@ class BatchViterbi:
                 for lvl in range(L - 1, -1, -1):
                     if slot < 0:
                         return best_cost, [], []
-                    ol = int(olab[t, lvl, slot])
-                    if ol != 0:
-                        olabels.append(ol)
-                    p = int(pdf[t, lvl, slot])
-                    if lvl == 0 and p >= 0:
-                        pdfs.append(p)
+                    raw.append(
+                        (int(olab[t, lvl, slot]), lvl == 0, int(pdf[t, lvl, slot]))
+                    )
                     slot = int(prev[t, lvl, slot])
-        # prepend initial-closure olabel prefix of the starting slot
+
+        n_valid = sum(1 for _, isf, p in raw if isf and p >= 0)
+        pdfs = [0] * n_valid
+        ols_frames: list[tuple[int, int]] = []
+        fidx = n_valid  # walking backwards; current frame = fidx - 1
+        for ol, is_frame, p in raw:
+            if ol != 0:
+                ols_frames.append((ol, max(fidx - 1, 0)))
+            if is_frame and p >= 0:
+                fidx -= 1
+                pdfs[fidx] = p
+        # initial-closure olabel prefix of the starting slot (frame 0)
         if 0 <= slot < len(self._init_prefixes):
-            olabels.extend(reversed(self._init_prefixes[slot]))
-        olabels.reverse()
-        pdfs.reverse()
-        return best_cost, olabels, pdfs
+            for ol in reversed(self._init_prefixes[slot]):
+                ols_frames.append((ol, 0))
+        ols_frames.reverse()
+        return best_cost, ols_frames, pdfs

@@ -1,0 +1,363 @@
+"""Streaming Recognizer — API/behavior parity with the reference Recognizer
+(src/recognizer.h:43, src/recognizer.cc) on a TPU-shaped pipeline:
+
+  PCM chunks -> streaming feature kernel -> streaming TDNN-F -> batched
+  token-passing decode, with the state machine INITIALIZED/RUNNING/ENDPOINT/
+  FINALIZED (recognizer.h:36-41), endpoint rules, 0.2 s sub-chunking
+  (recognizer.cc:305-311), frame-offset/sample bookkeeping for absolute
+  timestamps (recognizer.cc:196-223,457-458), and JSON result schemas.
+
+This class drives a batch-1 slice of the same jitted programs the batch
+pipeline uses; compiled executables are shared across recognizers created
+from the same Model (the reference shares the static Model the same way,
+vosk_api.h:24-27).
+"""
+from __future__ import annotations
+
+import enum
+import json
+from typing import List, Optional
+
+import numpy as np
+
+from ..graph.builder import build_decoding_graph
+from ..graph.lm import grammar_to_fst
+from ..io.native import NativeModel
+from ..io.wav import pcm16_bytes_to_float
+from ..models.tdnnf import TdnnfModel
+from ..ops.viterbi import BatchViterbi, DecodeParams
+from ..utils.logging import log_warn
+from . import endpoint as ep
+from . import jsonout
+
+
+class State(enum.Enum):
+    INITIALIZED = 0
+    RUNNING = 1
+    ENDPOINT = 2
+    FINALIZED = 3
+
+
+# pipeline recycle threshold: ~10 minutes of decoded frames
+# (reference recognizer.cc:196-202 uses 20000 decoded frames)
+RECYCLE_FRAMES = 20000
+
+
+class Recognizer:
+    def __init__(
+        self,
+        model: NativeModel,
+        sample_rate: float,
+        grammar: Optional[str] = None,
+        spk_model=None,
+    ):
+        self.model = model
+        self.sample_rate = float(sample_rate)
+        self.spk_model = spk_model
+
+        self.graph = model.graph
+        self._grammar_info = None
+        if grammar is not None:
+            self._build_grammar_graph(grammar)
+        if self.graph is None:
+            raise ValueError("Can't create decoding graph")
+
+        self.ex = model.feature_extractor()
+        self.am = TdnnfModel(model.am_config, model.am_params)
+        self.dec = BatchViterbi(
+            self.graph,
+            DecodeParams(
+                beam=model.config.beam,
+                max_active=model.config.max_active,
+                lattice_beam=model.config.lattice_beam,
+                acoustic_scale=model.config.acoustic_scale,
+            ),
+        )
+        self.frame_shift = model.config.frame_shift_seconds
+        self.rules = model.endpoint_rules()
+
+        # fixed device chunk: 0.2 s of samples (recognizer.cc:305)
+        self.chunk_samples = int(0.2 * self.sample_rate)
+        self.max_feat_frames = self.ex.stream_max_frames(self.chunk_samples)
+
+        # result options
+        self.words_ = False
+        self.partial_words_ = False
+        self.max_alternatives_ = 0
+        self.nlsml_ = False
+
+        # bookkeeping across utterances
+        self.frame_offset_ = 0          # output frames finalized so far
+        self.samples_processed_ = 0
+        self.samples_round_start_ = 0
+
+        self._spk_feats: list = []      # raw audio retained for speaker branch
+        self._init_pipeline()
+        self.state = State.INITIALIZED
+        self.last_result_ = ""
+
+    # ------------------------------------------------------------- setup
+
+    def _build_grammar_graph(self, grammar: str) -> None:
+        """Runtime phrase-list graph (reference recognizer.cc:49-98; requires
+        a lexicon, the analogue of the HCLr/Gr lookahead models)."""
+        if self.model.lexicon is None:
+            log_warn("Runtime graphs are not supported by this model")
+            return
+        try:
+            phrases = json.loads(grammar)
+        except json.JSONDecodeError:
+            phrases = []
+        if not isinstance(phrases, list) or not phrases:
+            log_warn(f"Expecting array of strings, got: '{grammar}'")
+            return
+        g = grammar_to_fst([str(p) for p in phrases], self.model.words.find)
+        graph, info = build_decoding_graph(
+            self.model.lexicon, g, self.model.topology
+        )
+        self.graph = graph
+        self._grammar_info = info
+
+    def _init_pipeline(self) -> None:
+        self._feat_state = self.ex.init_stream_state(1, self.chunk_samples)
+        self._am_state = self.am.init_stream_state(1, self.max_feat_frames)
+        self._frontier = self.dec.init_frontier(1)
+        self._records: list = []
+        self._utt_frames = 0            # output frames decoded this utterance
+        self._pending = np.zeros(0, np.float32)
+        self._best_cost = np.inf
+        self._best_final_cost = np.inf
+        self._flushed = False
+
+    # ---------------------------------------------------------- options
+
+    def set_words(self, v: bool) -> None:
+        self.words_ = bool(v)
+
+    def set_partial_words(self, v: bool) -> None:
+        self.partial_words_ = bool(v)
+
+    def set_max_alternatives(self, n: int) -> None:
+        self.max_alternatives_ = int(n)
+
+    def set_nlsml(self, v: bool) -> None:
+        self.nlsml_ = bool(v)
+
+    def set_spk_model(self, spk_model) -> None:
+        if self.state == State.RUNNING:
+            raise RuntimeError("Can't add speaker model to already running recognizer")
+        self.spk_model = spk_model
+
+    # ------------------------------------------------------------ ingest
+
+    def accept_waveform(self, data) -> bool:
+        """Accept PCM data (bytes = s16le, or numpy int16/float array).
+        Returns True when an endpoint (silence) was detected
+        (vosk_api.h:212-221)."""
+        wave = self._to_float(data)
+        return self._accept(wave)
+
+    def _to_float(self, data) -> np.ndarray:
+        if isinstance(data, (bytes, bytearray, memoryview)):
+            return pcm16_bytes_to_float(bytes(data))
+        a = np.asarray(data)
+        if a.dtype == np.int16:
+            return a.astype(np.float32)
+        return a.astype(np.float32)
+
+    def _accept(self, wave: np.ndarray) -> bool:
+        if self.state not in (State.RUNNING, State.INITIALIZED):
+            self._clean_up()
+        self.state = State.RUNNING
+
+        if self.spk_model is not None:
+            self._spk_feats.append(wave.copy())
+
+        buf = np.concatenate([self._pending, wave])
+        S = self.chunk_samples
+        pos = 0
+        while len(buf) - pos >= S:
+            self._process_chunk(buf[pos : pos + S], S)
+            pos += S
+        self._pending = buf[pos:]
+        self.samples_processed_ += len(wave)
+
+        return self._endpoint_check()
+
+    def _process_chunk(self, chunk: np.ndarray, n_valid: int) -> None:
+        S = self.chunk_samples
+        if len(chunk) < S:
+            chunk = np.concatenate([chunk, np.zeros(S - len(chunk), np.float32)])
+        self._feat_state, feats, fvalid = self.ex.extract_chunk(
+            self._feat_state, chunk[None, :], n_samples=np.array([n_valid], np.int32)
+        )
+        self._am_state, ll, lvalid = self.am.process_chunk(
+            self._am_state, feats, fvalid
+        )
+        self._decode(ll, lvalid)
+
+    def _decode(self, ll, lvalid) -> None:
+        self._frontier, recs, best, bestf = self.dec.decode_chunk(
+            self._frontier, ll, lvalid
+        )
+        self._records.append(recs)
+        self._utt_frames += int(np.asarray(lvalid)[0].sum())
+        self._best_cost = float(np.asarray(best)[0])
+        self._best_final_cost = float(np.asarray(bestf)[0])
+
+    def _flush_pending(self) -> None:
+        """Feed remaining buffered samples + flush AM right context
+        (reference: InputFinished + AdvanceDecoding, recognizer.cc:824-827)."""
+        if len(self._pending) > 0:
+            self._process_chunk(self._pending, len(self._pending))
+            self._pending = np.zeros(0, np.float32)
+        if not self._flushed:
+            self._am_state, ll, lvalid = self.am.flush(self._am_state)
+            self._decode(ll, lvalid)
+            self._flushed = True
+
+    # ---------------------------------------------------------- endpoint
+
+    def _endpoint_check(self) -> bool:
+        if self._utt_frames == 0:
+            return False
+        _, _, pdfs = self.dec.traceback(
+            self._records, self._frontier, 0, use_final=False
+        )
+        trailing, has_speech = ep.trailing_silence(pdfs, self.model.silence_pdfs)
+        rel = self._best_final_cost - self._best_cost
+        return ep.endpoint_detected(
+            self.rules,
+            self._utt_frames,
+            trailing,
+            rel,
+            self.frame_shift,
+            has_speech,
+        )
+
+    # ----------------------------------------------------------- results
+
+    def _clean_up(self) -> None:
+        """Reference CleanUp (recognizer.cc:188-224): accumulate frame
+        offset; recycle the whole pipeline after FINALIZED or ~10 min,
+        else just restart the decoder with the frame offset."""
+        self.frame_offset_ += self._utt_frames
+        if self.state == State.FINALIZED or self.frame_offset_ > RECYCLE_FRAMES:
+            self.samples_round_start_ += self.samples_processed_
+            self.samples_processed_ = 0
+            self.frame_offset_ = 0
+            self._spk_feats = []
+            self._init_pipeline()
+        else:
+            # restart decoding from the start state, keep feature/AM streams
+            self._frontier = self.dec.init_frontier(1)
+            self._records = []
+            self._utt_frames = 0
+            self._best_cost = np.inf
+            self._best_final_cost = np.inf
+
+    def _word_results(self, olabels_with_frames) -> List[jsonout.WordResult]:
+        """Build word timing entries.  Word start = frame where its olabel was
+        emitted on the best path; end = next word's start frame or end of
+        trailing speech run.  Times use the reference formula
+        samples_round_start_/rate + (frame_offset_ + frame) * 0.03
+        (recognizer.cc:457-458)."""
+        out = []
+        base = self.samples_round_start_ / self.sample_rate
+        for i, (wid, f_start, f_end, conf) in enumerate(olabels_with_frames):
+            out.append(
+                jsonout.WordResult(
+                    self.model.words.name(wid),
+                    base + (self.frame_offset_ + f_start) * self.frame_shift,
+                    base + (self.frame_offset_ + f_end) * self.frame_shift,
+                    conf,
+                )
+            )
+        return out
+
+    def _best_path_words(self, use_final: bool):
+        """Traceback + word segmentation from the pdf alignment."""
+        cost, ols, pdfs = self.dec.traceback_with_frames(
+            self._records, self._frontier, 0, use_final=use_final
+        )
+        words = self._segment_words(ols, pdfs)
+        return cost, words, pdfs
+
+    def _segment_words(self, ols_frames, pdfs):
+        """ols_frames: list of (olabel, frame emitted). Produce
+        (wid, start_frame, end_frame, conf) using silence boundaries."""
+        sil = set(int(x) for x in self.model.silence_pdfs)
+        T = len(pdfs)
+        items = []
+        for i, (wid, f0) in enumerate(ols_frames):
+            f1 = ols_frames[i + 1][1] if i + 1 < len(ols_frames) else T
+            # trim trailing silence frames inside [f0, f1)
+            while f1 > f0 + 1 and pdfs[f1 - 1] in sil:
+                f1 -= 1
+            items.append((wid, f0, f1, 1.0))
+        return items
+
+    def _get_result(self) -> str:
+        """Reference GetResult dispatch (recognizer.cc:669-728)."""
+        if self._utt_frames == 0:
+            return self._store_empty()
+        cost, words_items, pdfs = self._best_path_words(use_final=True)
+        words = self._word_results(words_items)
+        if self.max_alternatives_ == 0:
+            spk_vec, spk_frames = self._speaker_vector()
+            return jsonout.final_result(words, self.words_, spk_vec, spk_frames)
+        elif self.nlsml_:
+            return jsonout.nlsml_result([(words, -cost)])
+        else:
+            return jsonout.nbest_result([(words, -cost)], self.words_)
+
+    def _speaker_vector(self):
+        if self.spk_model is None:
+            return None, None
+        from ..models.xvector import extract_xvector_for_recognizer
+
+        return extract_xvector_for_recognizer(self)
+
+    def _store_empty(self) -> str:
+        if not self.max_alternatives_:
+            self.last_result_ = '{"text": ""}'
+        elif self.nlsml_:
+            self.last_result_ = (
+                '<?xml version="1.0"?>\n<result grammar="default">\n'
+                '<interpretation confidence="1.0">\n<instance/>\n'
+                "<input><noinput/></input>\n</interpretation>\n</result>\n"
+            )
+        else:
+            self.last_result_ = '{"alternatives" : [{"text": "", "confidence" : 1.0}] }'
+        return self.last_result_
+
+    def result(self) -> str:
+        """Finalize current utterance after an endpoint (vosk_api.h:234-250)."""
+        if self.state != State.RUNNING:
+            return self._store_empty()
+        self._flush_pending()
+        self.state = State.ENDPOINT
+        self.last_result_ = self._get_result()
+        return self.last_result_
+
+    def partial_result(self) -> str:
+        if self.state != State.RUNNING:
+            return jsonout.empty_partial()
+        if self._utt_frames == 0:
+            return jsonout.empty_partial()
+        _, words_items, pdfs = self._best_path_words(use_final=False)
+        words = self._word_results(words_items)
+        self.last_result_ = jsonout.partial_result(words, self.partial_words_)
+        return self.last_result_
+
+    def final_result(self) -> str:
+        if self.state != State.RUNNING:
+            return self._store_empty()
+        self._flush_pending()
+        self.state = State.FINALIZED
+        self.last_result_ = self._get_result()
+        return self.last_result_
+
+    def reset(self) -> None:
+        self._store_empty()
+        self.state = State.ENDPOINT
