@@ -116,6 +116,29 @@ def test_max_alternatives(model):
     assert "confidence" in res["alternatives"][0]
 
 
+def test_word_confidences_sane(model):
+    """Posterior-based confidences: in (0, 1], near 1 on clean audio."""
+    rec = vosk_tpu.KaldiRecognizer(model, 16000)
+    rec.SetWords(True)
+    rec.AcceptWaveform(wav_bytes(["one", "six"], seed=31))
+    res = json.loads(rec.FinalResult())
+    assert res["text"] == "one six"
+    for w in res["result"]:
+        assert 0.0 < w["conf"] <= 1.0
+    assert sum(w["conf"] for w in res["result"]) / len(res["result"]) > 0.5
+
+
+def test_alternatives_are_distinct_and_ordered(model):
+    rec = vosk_tpu.KaldiRecognizer(model, 16000)
+    rec.SetMaxAlternatives(5)
+    rec.AcceptWaveform(wav_bytes(["two", "seven"], seed=32))
+    res = json.loads(rec.FinalResult())
+    alts = res["alternatives"]
+    assert alts[0]["text"] == "two seven"
+    confs = [a["confidence"] for a in alts]
+    assert confs == sorted(confs, reverse=True)
+
+
 def test_nlsml(model):
     rec = vosk_tpu.KaldiRecognizer(model, 16000)
     rec.SetMaxAlternatives(2)

@@ -39,7 +39,8 @@ def random_fst(seed, n_states=24, n_pdf=6, n_words=5, with_eps=True):
 
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
 @pytest.mark.parametrize("with_eps", [False, True])
-def test_exact_match_no_pruning(seed, with_eps):
+@pytest.mark.parametrize("dedup", ["sort", "scatter"])
+def test_exact_match_no_pruning(seed, with_eps, dedup):
     n_pdf = 6
     fst = random_fst(seed, with_eps=with_eps)
     graph = flatten_fst(fst)
@@ -49,7 +50,7 @@ def test_exact_match_no_pruning(seed, with_eps):
 
     ref_cost, ref_ols, _ = ref_decode(fst, ll)
 
-    dec = BatchViterbi(graph, DecodeParams(beam=1e9, max_active=64))
+    dec = BatchViterbi(graph, DecodeParams(beam=1e9, max_active=64), dedup=dedup)
     frontier = dec.init_frontier(batch=2)
     ll_b = np.stack([ll, ll])  # two identical channels
     frontier, recs, best, best_final = dec.decode_chunk(frontier, ll_b)

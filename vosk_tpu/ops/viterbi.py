@@ -55,9 +55,14 @@ class BatchViterbi:
         params: DecodeParams,
         expand_budget: Optional[int] = None,
         eps_expand_budget: Optional[int] = None,
+        dedup: str = "sort",
+        lattice_records: bool = False,
+        lattice_budget: Optional[int] = None,
     ):
         self.graph = graph
         self.params = params
+        self.dedup = dedup
+        self.lattice_records = lattice_records
         S = graph.num_states
         self.S = S
         K = min(params.max_active, max(S, 1))
@@ -69,6 +74,9 @@ class BatchViterbi:
         )
         self.eps_iters = graph.eps_depth
         self.has_eps = graph.num_eps_arcs > 0
+        # lattice candidate budget per level (must fit both candidate pools)
+        R = lattice_budget or max(self.K, min(2048, self.E))
+        self.R = min(max(R, self.K), self.E, self.K + self.Ee)
 
         # device tables; state-indexed arrays padded so sentinel state S is a
         # zero-out-degree, non-final state.
@@ -148,12 +156,24 @@ class BatchViterbi:
         arc = jnp.where(mask, arc, 0)
         return tok_c, arc, mask, total > budget
 
-    def _dedup_prune(self, ns, cost, mask, extra_beam_ref=None):
-        """Scatter-min dedup by next state + top-K/beam prune.
+    def _dedup_prune(self, ns, cost, mask):
+        """Dedup by next state + top-K/beam prune.
 
         ns/cost/mask: [N] candidates. Returns (sel [K] candidate indices,
         new_state [K], new_cost [K], valid [K]).
+
+        Two strategies:
+          - "sort": one lexicographic sort by (state, cost); the first entry
+            of each state run is its min — no scatters.  TPU-friendly (XLA
+            scatter serializes; sort is a fast bitonic network).
+          - "scatter": dense table scatter-min + winner compare (good on CPU
+            and for very large N where sort costs more).
         """
+        if self.dedup == "sort":
+            return self._dedup_prune_sort(ns, cost, mask)
+        return self._dedup_prune_scatter(ns, cost, mask)
+
+    def _dedup_prune_scatter(self, ns, cost, mask):
         S, K = self.S, self.K
         beam = self.params.beam
         nsm = jnp.where(mask, ns, S)
@@ -171,6 +191,27 @@ class BatchViterbi:
         keep = new_cost <= best + beam
         new_state = jnp.where(keep, nsm[sel], S)
         new_cost = jnp.where(keep, new_cost, INF)
+        return sel, new_state, new_cost, keep
+
+    def _dedup_prune_sort(self, ns, cost, mask):
+        S, K = self.S, self.K
+        beam = self.params.beam
+        nsm = jnp.where(mask, ns, S)
+        costm = jnp.where(mask, cost, INF)
+        idx = jnp.arange(ns.shape[0], dtype=jnp.int32)
+        s_ns, s_cost, s_idx = jax.lax.sort((nsm, costm, idx), num_keys=2)
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), s_ns[1:] != s_ns[:-1]]
+        )
+        winner = first & (s_ns != S) & jnp.isfinite(s_cost)
+        wcost = jnp.where(winner, s_cost, INF)
+        neg, sel2 = jax.lax.top_k(-wcost, K)
+        new_cost = -neg
+        best = new_cost[0]
+        keep = new_cost <= best + beam
+        new_state = jnp.where(keep, s_ns[sel2], S)
+        new_cost = jnp.where(keep, new_cost, INF)
+        sel = s_idx[sel2]
         return sel, new_state, new_cost, keep
 
     # ------------------------------------------------------------- one frame
@@ -197,6 +238,9 @@ class BatchViterbi:
             "olabel": jnp.where(keep, self.em_olabel[arc[sel]], 0),
             "pdf": jnp.where(keep, pdf[sel], -1),
         }
+        if self.lattice_records:
+            em_rec.update(self._lattice_level(ns, cost, mask, tok, arc, c1))
+            em_rec["f_state"], em_rec["f_cost"] = st1, c1
         rec_levels.append(em_rec)
         cur_state, cur_cost = st1, c1
 
@@ -215,13 +259,19 @@ class BatchViterbi:
             all_prev = jnp.concatenate([slot, toke])
             all_ol = jnp.concatenate([jnp.zeros(K, jnp.int32), self.eps_olabel[arce]])
             sel2, st2, c2, keep2 = self._dedup_prune(all_ns, all_cost, all_mask)
-            rec_levels.append(
-                {
-                    "prev": jnp.where(keep2, all_prev[sel2], -1),
-                    "olabel": jnp.where(keep2, all_ol[sel2], 0),
-                    "pdf": jnp.full((K,), -1, jnp.int32),
-                }
-            )
+            lvl_rec = {
+                "prev": jnp.where(keep2, all_prev[sel2], -1),
+                "olabel": jnp.where(keep2, all_ol[sel2], 0),
+                "pdf": jnp.full((K,), -1, jnp.int32),
+            }
+            if self.lattice_records:
+                # carry entries get arc = -1, eps arcs get their arc index
+                all_arc = jnp.concatenate([jnp.full((K,), -1, jnp.int32), arce])
+                lvl_rec.update(
+                    self._lattice_level(all_ns, all_cost, all_mask, all_prev, all_arc, c2)
+                )
+                lvl_rec["f_state"], lvl_rec["f_cost"] = st2, c2
+            rec_levels.append(lvl_rec)
             cur_state, cur_cost = st2, c2
 
         # ---- valid masking: pass-through when frame is padding
@@ -235,13 +285,45 @@ class BatchViterbi:
             "olabel": jnp.zeros(K, jnp.int32),
             "pdf": jnp.full((K,), -1, jnp.int32),
         }
+        if self.lattice_records:
+            R = self.R
+            pad_i32 = jnp.full((R,), -1, jnp.int32)
+            ident.update(
+                {
+                    "f_state": tok_state,
+                    "f_cost": tok_cost,
+                    # identity carries so lattice stays connected across
+                    # masked frames: first K lattice rows mirror the frontier
+                    "lat_ns": jnp.concatenate([tok_state, jnp.full((R - K,), self.S, jnp.int32)]) if R > K else tok_state[:R],
+                    "lat_prev": jnp.concatenate([slot, pad_i32[: R - K]]) if R > K else slot[:R],
+                    "lat_arc": pad_i32,
+                    "lat_cost": jnp.concatenate([tok_cost, jnp.full((R - K,), jnp.inf)]) if R > K else tok_cost[:R],
+                }
+            )
         records = {
             k: jnp.stack(
                 [jnp.where(valid, lvl[k], ident[k]) for lvl in rec_levels], 0
             )
-            for k in ("prev", "olabel", "pdf")
+            for k in rec_levels[0]
         }
         return new_frontier, records
+
+    def _lattice_level(self, ns, cost, mask, prev, arc, frontier_cost):
+        """Top-R candidate arcs of one level, pruned to lattice_beam above the
+        level's best cost — the forward links Kaldi's lattice decoder keeps.
+        For carry entries (eps levels) arc == -1."""
+        R = self.R
+        costm = jnp.where(mask, cost, INF)
+        neg, sel = jax.lax.top_k(-costm, R)
+        lcost = -neg
+        best = jnp.min(frontier_cost)
+        keep = lcost <= best + self.params.lattice_beam
+        return {
+            "lat_ns": jnp.where(keep, ns[sel], self.S),
+            "lat_prev": jnp.where(keep, prev[sel], -1),
+            "lat_arc": jnp.where(keep, arc[sel], -1),
+            "lat_cost": jnp.where(keep, lcost, INF),
+        }
 
     # ------------------------------------------------------------- chunk API
 

@@ -72,6 +72,7 @@ class Recognizer:
                 lattice_beam=model.config.lattice_beam,
                 acoustic_scale=model.config.acoustic_scale,
             ),
+            lattice_records=True,
         )
         self.frame_shift = model.config.frame_shift_seconds
         self.rules = model.endpoint_rules()
@@ -297,19 +298,64 @@ class Recognizer:
             items.append((wid, f0, f1, 1.0))
         return items
 
+    def _lattice_paths(self, n: int, use_final: bool):
+        """Prune + extract n best lattice paths with word items and
+        per-word posteriors.  Returns [(cost, [(wid, f0, f1, conf)])]."""
+        from ..graph.lattice import build_lattice
+
+        lat, _ = build_lattice(
+            self._records, self._frontier, 0, self.dec, use_final=use_final
+        )
+        # reference applies GraphLatticeScale(0.9) before result extraction
+        lat.scale_graph(0.9)
+        lat = lat.prune(self.model.config.lattice_beam)
+        post = lat.arc_posteriors()
+        out = []
+        seen_texts = set()
+        for cost, path in lat.nbest(4 * n + 8):
+            if len(out) >= n:
+                break
+            pdfs = [lat.arcs[ai].pdf for ai in path if lat.arcs[ai].is_frame]
+            raw = lat.path_words(path)
+            text_key = tuple(w for w, _, _ in raw)
+            if n > 1 and text_key in seen_texts:
+                continue  # distinct lattice paths can share a word sequence
+            seen_texts.add(text_key)
+            sil = set(int(x) for x in self.model.silence_pdfs)
+            items = []
+            for wid, f0, f1 in raw:
+                while f1 > f0 + 1 and f1 - 1 < len(pdfs) and pdfs[f1 - 1] in sil:
+                    f1 -= 1
+                items.append((wid, f0, f1, 1.0))
+            # attach posteriors to words of this path
+            wi = 0
+            for ai in path:
+                a = lat.arcs[ai]
+                if a.olabel != 0 and wi < len(items):
+                    wid, f0, f1, _ = items[wi]
+                    items[wi] = (wid, f0, f1, float(post[ai]))
+                    wi += 1
+            out.append((cost, items))
+        return out
+
     def _get_result(self) -> str:
         """Reference GetResult dispatch (recognizer.cc:669-728)."""
         if self._utt_frames == 0:
             return self._store_empty()
-        cost, words_items, pdfs = self._best_path_words(use_final=True)
-        words = self._word_results(words_items)
         if self.max_alternatives_ == 0:
+            paths = self._lattice_paths(1, use_final=True)
+            if not paths:
+                return self._store_empty()
+            words = self._word_results(paths[0][1])
             spk_vec, spk_frames = self._speaker_vector()
             return jsonout.final_result(words, self.words_, spk_vec, spk_frames)
-        elif self.nlsml_:
-            return jsonout.nlsml_result([(words, -cost)])
-        else:
-            return jsonout.nbest_result([(words, -cost)], self.words_)
+        paths = self._lattice_paths(self.max_alternatives_, use_final=True)
+        if not paths:
+            return self._store_empty()
+        alts = [(self._word_results(items), -cost) for cost, items in paths]
+        if self.nlsml_:
+            return jsonout.nlsml_result(alts)
+        return jsonout.nbest_result(alts, self.words_)
 
     def _speaker_vector(self):
         if self.spk_model is None:
@@ -345,8 +391,14 @@ class Recognizer:
             return jsonout.empty_partial()
         if self._utt_frames == 0:
             return jsonout.empty_partial()
-        _, words_items, pdfs = self._best_path_words(use_final=False)
-        words = self._word_results(words_items)
+        if self.partial_words_:
+            # lattice path with posteriors (reference partial_words MBR path,
+            # recognizer.cc:740-781)
+            paths = self._lattice_paths(1, use_final=False)
+            words = self._word_results(paths[0][1]) if paths else []
+        else:
+            _, words_items, pdfs = self._best_path_words(use_final=False)
+            words = self._word_results(words_items)
         self.last_result_ = jsonout.partial_result(words, self.partial_words_)
         return self.last_result_
 
