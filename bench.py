@@ -29,7 +29,7 @@ def main() -> None:
     from vosk_tpu.runtime.pipeline import FusedPipeline
     from vosk_tpu.utils.benchdata import make_bench_model
 
-    B = int(os.environ.get("VOSK_TPU_BENCH_B", "32"))
+    B = int(os.environ.get("VOSK_TPU_BENCH_B", "256"))
     states = int(os.environ.get("VOSK_TPU_BENCH_STATES", "50000"))
     seconds = float(os.environ.get("VOSK_TPU_BENCH_SECONDS", "8"))
     max_active = int(os.environ.get("VOSK_TPU_BENCH_MAX_ACTIVE", "1000"))

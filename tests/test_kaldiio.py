@@ -1,0 +1,202 @@
+"""Kaldi format I/O: binary primitive round-trips, TransitionModel,
+nnet3 read + evaluation vs direct computation, OpenFST binary reading.
+
+(No Kaldi binaries exist in this environment; byte-level compatibility with
+upstream files is asserted structurally via our writers.)
+"""
+import io
+
+import numpy as np
+import pytest
+
+from vosk_tpu.io import kaldiio
+from vosk_tpu.io.kaldi_models import (
+    HmmState,
+    HmmTopology,
+    TransitionModel,
+)
+from vosk_tpu.io import nnet3 as n3
+
+
+def roundtrip(write_fn, read_fn):
+    buf = io.BytesIO()
+    w = kaldiio.BinaryWriter(buf)
+    write_fn(w)
+    buf.seek(0)
+    r = kaldiio.BinaryReader(io.BufferedReader(io.BytesIO(buf.getvalue())))
+    return read_fn(r)
+
+
+def test_primitives_roundtrip():
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(17).astype(np.float32)
+    m = rng.standard_normal((5, 7)).astype(np.float32)
+    got_v = roundtrip(lambda w: w.write_vector(v), lambda r: r.read_vector())
+    np.testing.assert_array_equal(got_v, v)
+    got_m = roundtrip(lambda w: w.write_matrix(m), lambda r: r.read_matrix())
+    np.testing.assert_array_equal(got_m, m)
+    got_i = roundtrip(lambda w: w.write_int_vector([3, 1, 4, 1, 5]), lambda r: r.read_int_vector())
+    assert list(got_i) == [3, 1, 4, 1, 5]
+    assert roundtrip(lambda w: w.write_basic_int(-42), lambda r: r.read_basic_int()) == -42
+    assert roundtrip(lambda w: w.write_basic_float(2.5), lambda r: r.read_basic_float()) == 2.5
+    assert roundtrip(lambda w: w.write_bool(True), lambda r: r.read_bool()) is True
+
+
+def make_topology():
+    t = HmmTopology()
+    t.phones = [1, 2, 3]
+    t.phone2idx = [-1, 0, 0, 1]  # phones 1,2 share entry 0; phone 3 entry 1
+    # 1-state chain-style topology with self-loop
+    t.entries = [
+        [HmmState(0, 0, [(0, 0.5), (1, 0.5)]), ],
+        [HmmState(0, 1, [(0, 0.7), (1, 0.3)]), ],
+    ]
+    return t
+
+
+def test_transition_model_roundtrip_and_mapping():
+    tm = TransitionModel()
+    tm.topo = make_topology()
+    tm.tuples = [(1, 0, 0, 0), (2, 0, 1, 1), (3, 0, 2, 3)]
+    tm.log_probs = np.log(np.full(7, 0.5, np.float32))
+    tm._build_derived()
+
+    got = roundtrip(tm.write, TransitionModel.read)
+    assert got.tuples == tm.tuples
+    assert got.num_transition_ids == tm.num_transition_ids
+    id2pdf = got.id2pdf()
+    # phone 1: transitions (self-loop idx0, forward idx1) -> pdfs (0, 0)
+    assert id2pdf[1] == 0 and id2pdf[2] == 0
+    # phone 2 -> pdf 1; phone 3 -> self-loop pdf 3, forward pdf 2
+    assert id2pdf[3] == 1 and id2pdf[4] == 1
+    assert id2pdf[5] == 3 and id2pdf[6] == 2
+    assert got.id2phone()[5] == 3
+
+
+def make_tdnn_net(rng):
+    """A miniature TDNN-F-style nnet3 net via our builder API."""
+    net = n3.Nnet3()
+    D, H, P = 8, 12, 5
+    net._parse_config_line("input-node name=input dim=8")
+    net._parse_config_line(
+        "component-node name=tdnn1 component=tdnn1 "
+        "input=Append(Offset(input, -1), input, Offset(input, 1))"
+    )
+    net._parse_config_line("component-node name=relu1 component=relu1 input=tdnn1")
+    net._parse_config_line("component-node name=bn1 component=bn1 input=relu1")
+    net._parse_config_line("component-node name=tdnnf component=tdnnf input=bn1")
+    net._parse_config_line(
+        "component-node name=out_aff component=out_aff "
+        "input=Sum(Scale(0.66, bn1), tdnnf)"
+    )
+    net._parse_config_line("output-node name=output input=out_aff objective=linear")
+    net.components = {
+        "tdnn1": n3.AffineComponent(
+            rng.standard_normal((H, 3 * D)).astype(np.float32),
+            rng.standard_normal(H).astype(np.float32),
+        ),
+        "relu1": n3.NonlinComponent(H, "RectifiedLinearComponent"),
+        "bn1": n3.BatchNormComponent(
+            H, 1e-3, 1.0,
+            rng.standard_normal(H).astype(np.float32),
+            rng.uniform(0.5, 2.0, H).astype(np.float32),
+        ),
+        "tdnnf": n3.TdnnComponent(
+            [-3, 0],
+            rng.standard_normal((H, 2 * H)).astype(np.float32),
+            rng.standard_normal(H).astype(np.float32),
+        ),
+        "out_aff": n3.AffineComponent(
+            rng.standard_normal((P, H)).astype(np.float32),
+            rng.standard_normal(P).astype(np.float32),
+        ),
+    }
+    net.component_order = list(net.components)
+    return net, D, P
+
+
+def test_nnet3_roundtrip_and_eval():
+    rng = np.random.default_rng(1)
+    net, D, P = make_tdnn_net(rng)
+
+    got = roundtrip(net.write, n3.Nnet3.read)
+    assert got.component_order == net.component_order
+    assert [got.nodes[n].kind for n in got.node_order] == [
+        net.nodes[n].kind for n in net.node_order
+    ]
+
+    T = 20
+    x = rng.standard_normal((T, D)).astype(np.float32)
+    y1 = np.asarray(net.evaluate({"input": x}))
+    y2 = np.asarray(got.evaluate({"input": x}))
+    assert y1.shape == (T, P)
+    np.testing.assert_allclose(y1, y2, rtol=1e-5, atol=1e-5)
+
+    # manual check of the first layer path at an interior frame
+    t = 10
+    comp = net.components["tdnn1"]
+    spliced = np.concatenate([x[t - 1], x[t], x[t + 1]])
+    want = spliced @ comp.linear.T + comp.bias
+    bn = net.components["bn1"]
+    relu = np.maximum(want, 0)
+    scale = bn.target_rms / np.sqrt(bn.stats_var + bn.epsilon)
+    bn_out = relu * scale - bn.stats_mean * scale
+    got_bn = np.asarray(net.evaluate({"input": x}, output="bn1"))[t]
+    np.testing.assert_allclose(got_bn, bn_out, rtol=1e-4, atol=1e-4)
+
+
+def test_statistics_pooling_eval():
+    rng = np.random.default_rng(2)
+    net = n3.Nnet3()
+    D = 6
+    net._parse_config_line("input-node name=input dim=6")
+    net._parse_config_line("component-node name=stats_ex component=stats_ex input=input")
+    net._parse_config_line("component-node name=stats_pool component=stats_pool input=stats_ex")
+    net._parse_config_line("output-node name=output input=stats_pool objective=linear")
+    net.components = {
+        "stats_ex": n3.StatisticsExtractionComponent(D, 1, 1, True),
+        "stats_pool": n3.StatisticsPoolingComponent(1 + 2 * D, 1, -1000, 1000, 0, True),
+    }
+    net.component_order = list(net.components)
+    x = rng.standard_normal((30, D)).astype(np.float32)
+    y = np.asarray(net.evaluate({"input": x}))
+    np.testing.assert_allclose(y[0, :D], x.mean(0), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(y[0, D:], x.std(0), rtol=1e-3, atol=1e-3)
+
+    got = roundtrip(net.write, n3.Nnet3.read)
+    y2 = np.asarray(got.evaluate({"input": x}))
+    np.testing.assert_allclose(y2, y, rtol=1e-5, atol=1e-5)
+
+
+def test_fst_binary_roundtrip(tmp_path):
+    """Write an OpenFST-format VectorFst by hand; read it back."""
+    import struct
+
+    path = tmp_path / "g.fst"
+    arcs = {0: [(1, 7, 0.5, 1)], 1: [(2, 0, 0.25, 0)]}
+    finals = {1: 0.125}
+    with open(path, "wb") as f:
+        f.write(struct.pack("<i", 2125659606))
+        for s in ("vector", "standard"):
+            f.write(struct.pack("<i", len(s)))
+            f.write(s.encode())
+        f.write(struct.pack("<i", 2))  # version
+        f.write(struct.pack("<i", 0))  # flags
+        f.write(struct.pack("<Q", 0))  # properties
+        f.write(struct.pack("<q", 0))  # start
+        f.write(struct.pack("<q", 2))  # states
+        f.write(struct.pack("<q", 2))  # arcs
+        for s in range(2):
+            f.write(struct.pack("<f", finals.get(s, float("inf"))))
+            a = arcs.get(s, [])
+            f.write(struct.pack("<q", len(a)))
+            for il, ol, w, ns in a:
+                f.write(struct.pack("<iifi", il, ol, w, ns))
+    from vosk_tpu.io.kaldi_models import raw_fst_to_std, read_fst
+
+    raw = read_fst(path)
+    fst = raw_fst_to_std(raw)
+    assert fst.start == 0
+    assert fst.arcs[0] == [(1, 7, 0.5, 1)]
+    assert fst.arcs[1] == [(2, 0, 0.25, 0)]
+    assert fst.final[1] == 0.125

@@ -158,16 +158,28 @@ def build_decoding_graph(
     lex: Lexicon,
     g: StdFst,
     topo: Topology = Topology(),
+    max_out: int = 16,
 ):
-    """Full pipeline: L ∘ G -> HMM expansion -> flattened DecodingGraph.
+    """Full pipeline: L ∘ G -> HMM expansion -> epsilon removal -> out-degree
+    cap -> flattened DecodingGraph.
 
-    Returns (DecodingGraph, info dict with pdf/phone maps and silence pdfs).
+    Epsilon removal turns per-frame decoding into a single phase (no closure
+    rounds); the out-degree cap enables the decoder's dense padded arc
+    layout.  Returns (DecodingGraph, info dict with pdf/phone maps and
+    silence pdfs).
     """
+    from .optimize import remove_epsilons, split_high_degree
+
     L = make_lexicon_fst(lex)
     LG = compose(L, g)
     if LG.num_states == 0:
         raise ValueError("empty composition: grammar has no in-vocabulary path")
     H, info = expand_hmm(LG, topo, num_phones=len(lex.phones) - 1)
+    H = remove_epsilons(H)
+    if H.num_states and max(
+        sum(1 for a in arcs if a[0] != EPSILON) for arcs in H.arcs
+    ) > max_out:
+        H = split_high_degree(H, max_out)
     graph = flatten_fst(H)
     sil_pdfs = [
         pdf for (ph, k), pdf in info["pdf_of"].items() if ph == lex.silence_phone

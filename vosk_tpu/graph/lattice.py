@@ -358,16 +358,16 @@ def build_lattice(
                     delta = total - prev_costs[pslot]
                     ai = int(lat_arc[t, lvl, r])
                     if lvl == 0 and is_real:
-                        gw = float(em_w[ai]) if ai >= 0 else 0.0
+                        gw, ol, pdf = dec.host_em_arc(ai) if ai >= 0 else (0.0, 0, -1)
                         lat.add_arc(
                             LatArc(
                                 prev_nodes[pslot],
                                 nodes[slot],
-                                int(em_olabel[ai]) if ai >= 0 else 0,
+                                ol,
                                 gw,
                                 delta - gw,
                                 True,
-                                int(em_pdf[ai]) if ai >= 0 else -1,
+                                pdf,
                             )
                         )
                     else:

@@ -84,9 +84,11 @@ class NativeModel:
         phone_of_pdf: np.ndarray,
         silence_pdfs: np.ndarray,
         topology: Topology,
+        am_override=None,
     ):
         self.config = config
-        self.am_config = TdnnfConfig(**config.am)
+        self.am_override = am_override
+        self.am_config = TdnnfConfig(**config.am) if config.am else None
         self.am_params = am_params
         self.graph = graph
         self.words = words
@@ -95,6 +97,15 @@ class NativeModel:
         self.phone_of_pdf = phone_of_pdf
         self.silence_pdfs = silence_pdfs
         self.topology = topology
+
+    def make_am(self):
+        """Instantiate the streaming acoustic model (native TDNN-F weights or
+        a loaded nnet3 network)."""
+        if self.am_override is not None:
+            return self.am_override
+        from ..models.tdnnf import TdnnfModel
+
+        return TdnnfModel(self.am_config, self.am_params)
 
     def feature_extractor(self) -> F.FeatureExtractor:
         fo = F.FrameOptions(samp_freq=self.config.sample_rate, **self.config.frame_opts)

@@ -95,7 +95,10 @@ def _splice(x, offsets):
     return jnp.concatenate(parts, axis=-1)
 
 
-class TdnnfModel:
+from .streaming import StreamingAm
+
+
+class TdnnfModel(StreamingAm):
     """Stateless forward over parameter pytrees (pure-functional, jit/pjit
     friendly); streaming state = carried feature context."""
 
@@ -137,157 +140,20 @@ class TdnnfModel:
         # chain output: raw pseudo-loglikes, no log-softmax (run_tdnn.sh:120)
         return out[:, :: cfg.subsample]
 
-    def forward_utterance(self, params, feats, ivector=None):
-        """Whole-utterance forward with Kaldi edge-copy padding.
-
-        feats: [B, T, D] -> [B, ceil(T/ss), P]; output j is centered at
-        input frame j*ss, context taken from edge-duplicated padding.
-        """
-        cfg = self.cfg
-        ss = cfg.subsample
-        Lp = self._left_pad
-        R = cfg.right_context
-        T = feats.shape[1]
-        n_out = -(-T // ss)
-        left = jnp.repeat(feats[:, :1], Lp, axis=1)
-        # pad right so the last output frame has full right context
-        need_right = (n_out - 1) * ss + R + 1 - T
-        right = jnp.repeat(feats[:, -1:], max(need_right, 0), axis=1)
-        window = jnp.concatenate([left, feats, right], axis=1)
-        out = self.forward(params, window, ivector)
-        return out[:, Lp // ss : Lp // ss + n_out]
-
-    # ---- offline convenience
-    def __call__(self, feats, ivector=None):
-        if not hasattr(self, "_utt_jit_fn"):
-            self._utt_jit_fn = jax.jit(self.forward_utterance)
-        return self._utt_jit_fn(self.params, feats, ivector)
-
-    # ---- streaming ----------------------------------------------------
+    # streaming/offline drivers come from StreamingAm
 
     @property
-    def _left_pad(self) -> int:
-        """Left context rounded up to a multiple of subsample so the
-        forward's output subsampling grid lands exactly on the desired
-        output frames."""
-        ss = self.cfg.subsample
-        return ((self.cfg.left_context + ss - 1) // ss) * ss
+    def feat_dim(self) -> int:
+        return self.cfg.feat_dim
 
-    def init_stream_state(self, batch: int, chunk_frames: int):
-        """chunk_frames: max feature frames fed per chunk (masked by valid).
+    @property
+    def subsample(self) -> int:
+        return self.cfg.subsample
 
-        Carried: feature history ring [B, H, D] + counters.  The history must
-        cover [oldest-needed-frame, newest): Lp + R + chunk + ss frames.
-        """
-        cfg = self.cfg
-        H = self._left_pad + cfg.right_context + chunk_frames + cfg.subsample
-        return {
-            "hist": jnp.zeros((batch, H, cfg.feat_dim), jnp.float32),
-            "hist_len": jnp.zeros((batch,), jnp.int32),  # valid frames in hist
-            "feats_seen": jnp.zeros((batch,), jnp.int32),
-            "out_emitted": jnp.zeros((batch,), jnp.int32),
-        }
+    @property
+    def left_context(self) -> int:
+        return self.cfg.left_context
 
-    def stream_max_out(self, chunk_frames: int) -> int:
-        return chunk_frames // self.cfg.subsample + 1
-
-    def process_chunk(self, state, feats, valid, ivector=None):
-        """Streaming step (jit-compiled per shape).
-
-        feats: [B, F, D] new feature frames (masked by valid [B, F], which
-        must be a prefix mask per row).  Returns (state', loglikes [B, O, P],
-        out_valid [B, O]): output frame rows out_emitted..out_emitted+n-1,
-        i.e. feature frames t*subsample with full left/right context.
-        """
-        if not hasattr(self, "_chunk_jit_fn"):
-            self._chunk_jit_fn = jax.jit(self._process_chunk_impl)
-        return self._chunk_jit_fn(self.params, state, feats, valid, ivector)
-
-    def _process_chunk_impl(self, params, state, feats, valid, ivector):
-        cfg = self.cfg
-        B, F, D = feats.shape
-        hist, hist_len = state["hist"], state["hist_len"]
-        H = hist.shape[1]
-        O = self.stream_max_out(F)
-        ss, R = cfg.subsample, cfg.right_context
-        Lp = self._left_pad
-
-        n_new = jnp.sum(valid, axis=1).astype(jnp.int32)  # [B]
-
-        # shift out oldest frames if appending would overflow the ring
-        col = jax.lax.broadcasted_iota(jnp.int32, (B, H), 1)
-        overflow = jnp.maximum(hist_len + n_new - H, 0)
-        src = jnp.clip(col + overflow[:, None], 0, H - 1)
-        hist = jnp.take_along_axis(hist, src[:, :, None], axis=1)
-        hist_len2 = hist_len - overflow
-        # append new frames at hist_len2
-        fsrc = jnp.clip(col - hist_len2[:, None], 0, F - 1)
-        newf = jnp.take_along_axis(feats, fsrc[:, :, None], axis=1)
-        write = (col >= hist_len2[:, None]) & (col < (hist_len2 + n_new)[:, None])
-        hist = jnp.where(write[:, :, None], newf, hist)
-        hist_len3 = hist_len2 + n_new
-
-        feats_seen = state["feats_seen"] + n_new
-        out_emitted = state["out_emitted"]
-
-        # output frame j needs feature frames [j*ss - L, j*ss + R]; emit once
-        # j*ss + R < feats_seen
-        total_out_ready = jnp.maximum((feats_seen - R - 1) // ss + 1, 0)
-        n_out = jnp.clip(total_out_ready - out_emitted, 0, O)
-
-        # forward window: frames [out_emitted*ss - Lp, (out_emitted+O-1)*ss + R]
-        W = (O - 1) * ss + Lp + R + 1
-        hist_base = feats_seen - hist_len3  # global index of hist[0]
-        want0 = out_emitted * ss - Lp  # negative early on -> clamped (edge copy)
-        off = want0 - hist_base
-        wcol = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
-        widx = jnp.clip(wcol + off[:, None], 0, H - 1)
-        window = jnp.take_along_axis(hist, widx[:, :, None], axis=1)  # [B, W, D]
-
-        out = self.forward(params, window, ivector)
-        # forward emits window frames 0, ss, 2ss, ...; window frame Lp is
-        # output frame `out_emitted`, and Lp % ss == 0 by construction.
-        out = out[:, Lp // ss : Lp // ss + O]
-
-        out_valid = jax.lax.broadcasted_iota(jnp.int32, (B, O), 1) < n_out[:, None]
-        out = jnp.where(out_valid[:, :, None], out, 0.0)
-
-        new_state = {
-            "hist": hist,
-            "hist_len": hist_len3,
-            "feats_seen": feats_seen,
-            "out_emitted": out_emitted + n_out,
-        }
-        return new_state, out, out_valid
-
-    # ---- end-of-stream flush -----------------------------------------
-
-    def flush(self, state):
-        """Emit the outputs still blocked on right context by feeding
-        edge-copies of the last frame (the reference flushes via
-        `feature_pipeline_->InputFinished()`, recognizer.cc:824-827).
-
-        Returns (state', loglikes [B, O2, P], out_valid [B, O2]).  After this
-        the stream has emitted exactly ceil(feats_seen/subsample) outputs.
-        """
-        if not hasattr(self, "_flush_jit_fn"):
-            self._flush_jit_fn = jax.jit(self._flush_impl)
-        return self._flush_jit_fn(self.params, state)
-
-    def _flush_impl(self, params, state):
-        cfg = self.cfg
-        ss, R = cfg.subsample, cfg.right_context
-        hist, hist_len = state["hist"], state["hist_len"]
-        B, H, D = hist.shape
-        feats_seen = state["feats_seen"]
-
-        # per-channel pad so that total outputs = ceil(feats_seen/ss)
-        total_out = (feats_seen + ss - 1) // ss
-        need = jnp.maximum((total_out - 1) * ss + R + 1 - feats_seen, 0)
-        P = R + ss  # static max pad
-        last = jnp.take_along_axis(
-            hist, jnp.clip(hist_len - 1, 0, H - 1)[:, None, None], axis=1
-        )  # [B, 1, D]
-        pad_feats = jnp.broadcast_to(last, (B, P, D))
-        pad_valid = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1) < need[:, None]
-        return self._process_chunk_impl(params, state, pad_feats, pad_valid, None)
+    @property
+    def right_context(self) -> int:
+        return self.cfg.right_context

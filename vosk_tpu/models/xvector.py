@@ -145,7 +145,7 @@ def extract_xvector_for_recognizer(rec) -> Tuple[Optional[list], Optional[int]]:
     # frames are subsample x 10ms)
     _, _, pdfs = rec.dec.traceback(rec._records, rec._frontier, 0, use_final=False)
     sil = set(int(x) for x in rec.model.silence_pdfs)
-    ss = rec.model.am_config.subsample
+    ss = rec.am.subsample
     keep = []
     for i in range(feats.shape[0]):
         j = min(i // ss, len(pdfs) - 1) if pdfs else -1

@@ -58,6 +58,8 @@ class BatchViterbi:
         dedup: str = "sort",
         lattice_records: bool = False,
         lattice_budget: Optional[int] = None,
+        layout: Optional[str] = None,  # "padded" | "csr" | None (auto)
+        padded_max_out: int = 16,
     ):
         self.graph = graph
         self.params = params
@@ -67,6 +69,12 @@ class BatchViterbi:
         self.S = S
         K = min(params.max_active, max(S, 1))
         self.K = K
+        if layout is None:
+            layout = "padded" if 0 < graph.max_em_out <= padded_max_out else "csr"
+        self.layout = layout
+        self.M = max(graph.max_em_out, 1)
+        if layout == "padded":
+            expand_budget = K * self.M  # each token contributes exactly M slots
         # top_k(k=K) needs at least K candidates, so E >= K always.
         self.E = expand_budget or max(K, 128, min(K * max(graph.max_em_out, 1), 1 << 18))
         self.Ee = eps_expand_budget or max(
@@ -92,6 +100,9 @@ class BatchViterbi:
         self.eps_next = jnp.asarray(g.eps_next) if len(g.eps_next) else jnp.zeros((1,), jnp.int32)
         self.final_cost = jnp.asarray(np.append(g.final_cost, np.float32(np.inf)))
 
+        if self.layout == "padded":
+            self._build_padded_tables()
+
         # initial frontier: epsilon closure of the start state, done exactly on
         # host once (tiny).  Initial tokens carry an olabel prefix for traceback.
         self._init_states, self._init_costs, self._init_prefixes = self._initial_closure()
@@ -99,6 +110,35 @@ class BatchViterbi:
         self._decode_jit = jax.jit(self._decode_chunk_impl)
 
     # ------------------------------------------------------------------ init
+
+    def _build_padded_tables(self) -> None:
+        """Dense [S+1, M] arc layout packed into ONE f32 gather row per state
+        [S+1, 4*M]: (w | next | pdf | olabel), int fields bit-cast to f32.
+        Pad slots: w=+inf, next=S.  One row gather replaces the CSR cumsum/
+        searchsorted/per-field gather chain — the dominant cost on TPU where
+        each non-fusable op pays a fixed launch overhead."""
+        g, S, M = self.graph, self.S, self.M
+        A = len(g.em_pdf)
+        w = np.full((S + 1, M), np.inf, np.float32)
+        nxt = np.full((S + 1, M), S, np.int32)
+        pdf = np.zeros((S + 1, M), np.int32)
+        ola = np.zeros((S + 1, M), np.int32)
+        if A:
+            cnt = (g.em_off[1:] - g.em_off[:-1]).astype(np.int64)
+            state_of_arc = np.repeat(np.arange(S), cnt)
+            pos = np.arange(A) - g.em_off[:-1].astype(np.int64)[state_of_arc]
+            w[state_of_arc, pos] = g.em_w
+            nxt[state_of_arc, pos] = g.em_next
+            pdf[state_of_arc, pos] = g.em_pdf
+            ola[state_of_arc, pos] = g.em_olabel
+        pack = np.concatenate(
+            [w, nxt.view(np.float32), pdf.view(np.float32), ola.view(np.float32)],
+            axis=1,
+        )
+        self.em_pack = jnp.asarray(pack)
+        # host-side dense views for lattice building (arc id = state*M + m)
+        self.dense_w, self.dense_next = w, nxt
+        self.dense_pdf, self.dense_olabel = pdf, ola
 
     def _initial_closure(self):
         import heapq
@@ -227,15 +267,37 @@ class BatchViterbi:
         tok_state, tok_cost = frontier["state"], frontier["cost"]
 
         # ---- emitting expansion
-        tok, arc, mask, _ovf = self._expand(tok_state, tok_cost, self.em_off, self.E)
-        pdf = self.em_pdf[arc]
-        cost = tok_cost[tok] + self.em_w[arc] - scale * loglike[pdf]
-        ns = self.em_next[arc]
+        if self.layout == "padded":
+            M, E = self.M, self.E
+            rows = self.em_pack[tok_state]  # [K, 4M] — single row gather
+            w = rows[:, :M]
+            ns = jax.lax.bitcast_convert_type(rows[:, M : 2 * M], jnp.int32)
+            pdf = jax.lax.bitcast_convert_type(rows[:, 2 * M : 3 * M], jnp.int32)
+            olab = jax.lax.bitcast_convert_type(rows[:, 3 * M :], jnp.int32)
+            cost = tok_cost[:, None] + w - scale * loglike[pdf]
+            e_ids = jnp.arange(E, dtype=jnp.int32)
+            tok = e_ids // M
+            arc = tok_state[tok] * M + (e_ids % M)  # dense arc id (lattice)
+            ns, cost, pdf, olab = (
+                ns.reshape(E),
+                cost.reshape(E),
+                pdf.reshape(E),
+                olab.reshape(E),
+            )
+            mask = jnp.isfinite(w.reshape(E))
+        else:
+            tok, arc, mask, _ovf = self._expand(
+                tok_state, tok_cost, self.em_off, self.E
+            )
+            pdf = self.em_pdf[arc]
+            cost = tok_cost[tok] + self.em_w[arc] - scale * loglike[pdf]
+            ns = self.em_next[arc]
+            olab = self.em_olabel[arc]
         sel, st1, c1, keep = self._dedup_prune(ns, cost, mask)
         rec_levels = []
         em_rec = {
             "prev": jnp.where(keep, tok[sel], -1),
-            "olabel": jnp.where(keep, self.em_olabel[arc[sel]], 0),
+            "olabel": jnp.where(keep, olab[sel], 0),
             "pdf": jnp.where(keep, pdf[sel], -1),
         }
         if self.lattice_records:
@@ -350,6 +412,19 @@ class BatchViterbi:
         return self._decode_jit(frontier, loglikes, valid)
 
     # ------------------------------------------------------------ host side
+
+    def host_em_arc(self, ai: int) -> tuple[float, int, int]:
+        """(graph_weight, olabel, pdf) of an emitting-arc record id — dense
+        ids for the padded layout, CSR indices otherwise."""
+        if self.layout == "padded":
+            s, m = divmod(int(ai), self.M)
+            return (
+                float(self.dense_w[s, m]),
+                int(self.dense_olabel[s, m]),
+                int(self.dense_pdf[s, m]),
+            )
+        g = self.graph
+        return float(g.em_w[ai]), int(g.em_olabel[ai]), int(g.em_pdf[ai])
 
     def traceback(
         self,

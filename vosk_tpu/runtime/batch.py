@@ -23,7 +23,6 @@ import numpy as np
 
 from ..io.native import NativeModel
 from ..io.wav import pcm16_bytes_to_float
-from ..models.tdnnf import TdnnfModel
 from ..ops.viterbi import BatchViterbi, DecodeParams
 from . import jsonout
 
@@ -45,7 +44,7 @@ class BatchPipeline:
         self.model = model
         self.B = max_batch_size
         self.ex = model.feature_extractor()
-        self.am = TdnnfModel(model.am_config, model.am_params)
+        self.am = model.make_am()
         self.dec = BatchViterbi(
             model.graph,
             DecodeParams(
@@ -164,8 +163,7 @@ class BatchPipeline:
 
     def _masked_flush(self, mask: np.ndarray):
         state = self._am_state
-        cfg = self.am.cfg
-        ss, R = cfg.subsample, cfg.right_context
+        ss, R = self.am.subsample, self.am.right_context
         hist, hist_len = state["hist"], state["hist_len"]
         B, H, D = hist.shape
         feats_seen = state["feats_seen"]

@@ -16,7 +16,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io.native import NativeModel
-from ..models.tdnnf import TdnnfModel
 from ..ops.features import FeatureExtractor
 from ..ops.viterbi import BatchViterbi, DecodeParams
 
@@ -34,7 +33,7 @@ class FusedPipeline:
         self.model = model
         self.B = batch
         self.ex = model.feature_extractor()
-        self.am = TdnnfModel(model.am_config, model.am_params)
+        self.am = model.make_am()
         self.dec = BatchViterbi(
             model.graph,
             DecodeParams(

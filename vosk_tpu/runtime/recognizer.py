@@ -24,7 +24,6 @@ from ..graph.builder import build_decoding_graph
 from ..graph.lm import grammar_to_fst
 from ..io.native import NativeModel
 from ..io.wav import pcm16_bytes_to_float
-from ..models.tdnnf import TdnnfModel
 from ..ops.viterbi import BatchViterbi, DecodeParams
 from ..utils.logging import log_warn
 from . import endpoint as ep
@@ -63,7 +62,7 @@ class Recognizer:
             raise ValueError("Can't create decoding graph")
 
         self.ex = model.feature_extractor()
-        self.am = TdnnfModel(model.am_config, model.am_params)
+        self.am = model.make_am()
         self.dec = BatchViterbi(
             self.graph,
             DecodeParams(

@@ -19,7 +19,8 @@ def make_bench_graph(
     max_em_out: int = 8,
     num_pdfs: int = 2048,
     num_words: int = 5000,
-    eps_fraction: float = 0.1,
+    eps_fraction: float = 0.0,  # load-time epsilon removal leaves real
+    # graphs (mostly) eps-free; see graph/optimize.py
     seed: int = 0,
 ) -> DecodingGraph:
     """Random strongly-decodable graph in CSR form (built directly as arrays;
