@@ -25,11 +25,12 @@ def bench(name, body):
             ns, cost = carry
             out_ns, out_cost = body(ns, cost)
             # feed outputs back so each iteration depends on the previous
+            W = out_ns.shape[1]
             ns2 = jnp.where(
-                jnp.arange(E)[None, :] < K, 0, ns
-            ) + jnp.pad(out_ns, ((0, 0), (0, E - K)), constant_values=0)
+                jnp.arange(E)[None, :] < W, 0, ns
+            ) + jnp.pad(out_ns[:, :E], ((0, 0), (0, max(E - W, 0))), constant_values=0)
             ns2 = jnp.abs(ns2) % 50000
-            cost2 = cost + 1e-6 * jnp.pad(out_cost, ((0, 0), (0, E - K)), constant_values=0.0)
+            cost2 = cost + 1e-6 * jnp.pad(out_cost[:, :E], ((0, 0), (0, max(E - W, 0))), constant_values=0.0)
             cost2 = jnp.where(jnp.isfinite(cost2), cost2, 20.0)
             return (ns2, cost2), None
 

@@ -299,7 +299,27 @@ class Recognizer:
 
     def _lattice_paths(self, n: int, use_final: bool):
         """Prune + extract n best lattice paths with word items and
-        per-word posteriors.  Returns [(cost, [(wid, f0, f1, conf)])]."""
+        per-word posteriors.  Returns [(cost, [(wid, f0, f1, conf)])].
+
+        Uses the native C++ finishing library (core/) when built; the Python
+        lattice is the behavioral oracle and fallback."""
+        from . import native_lattice
+
+        if native_lattice.available() and self._records:
+            out = native_lattice.nbest_native(
+                self._records,
+                self._frontier,
+                0,
+                self.dec,
+                self.model.silence_pdfs,
+                n=n,
+                lattice_beam=self.model.config.lattice_beam,
+                graph_scale=0.9,
+                use_final=use_final,
+                distinct=n > 1,
+            )
+            if out:
+                return out
         from ..graph.lattice import build_lattice
 
         lat, _ = build_lattice(
