@@ -90,6 +90,8 @@ class NativeModel:
         self.am_override = am_override
         self.am_config = TdnnfConfig(**config.am) if config.am else None
         self.am_params = am_params
+        self.g_fst = None       # word-level LM in the graph (for rescoring subtract)
+        self.rescore_lm = None  # big ARPA LM (for rescoring add)
         self.graph = graph
         self.words = words
         self.phones = phones
@@ -156,6 +158,37 @@ def _graph_from_npz(z) -> DecodingGraph:
     )
 
 
+def _save_std_fst(path, fst) -> None:
+    """Store a word-level StdFst (e.g. the graph LM G used for rescoring
+    subtraction, role of rescore/G.fst at reference model.cc:310-311)."""
+    rows = []
+    for s in range(fst.num_states):
+        for il, ol, w, ns in fst.arcs[s]:
+            rows.append((s, il, ol, w, ns))
+    arr = np.asarray(rows, np.float64).reshape(-1, 5)
+    np.savez(
+        path,
+        arcs=arr,
+        finals=np.asarray(fst.final, np.float32),
+        start=np.int32(fst.start),
+    )
+
+
+def _load_std_fst(path):
+    from ..graph.fst import StdFst
+
+    z = np.load(path)
+    f = StdFst()
+    f.add_states(len(z["finals"]))
+    f.set_start(int(z["start"]))
+    for s, fw in enumerate(z["finals"]):
+        if np.isfinite(fw):
+            f.set_final(s, float(fw))
+    for s, il, ol, w, ns in z["arcs"]:
+        f.add_arc(int(s), int(il), int(ol), float(w), int(ns))
+    return f
+
+
 def save_model(
     path,
     config: ModelConfig,
@@ -167,6 +200,7 @@ def save_model(
     phone_of_pdf,
     silence_pdfs,
     topology: Topology = Topology(),
+    g_fst=None,
 ) -> None:
     p = Path(path)
     p.mkdir(parents=True, exist_ok=True)
@@ -180,6 +214,8 @@ def save_model(
     np.savez(p / "am.npz", **am_params)
     if graph is not None:
         np.savez(p / "graph.npz", **_graph_to_npz(graph))
+    if g_fst is not None:
+        _save_std_fst(p / "g.npz", g_fst)
     np.savez(
         p / "maps.npz",
         phone_of_pdf=np.asarray(phone_of_pdf, np.int32),
@@ -240,7 +276,7 @@ def load_model(path) -> NativeModel:
             silence_phone=sil_phone,
             silence_cost=sil_cost,
         )
-    return NativeModel(
+    model = NativeModel(
         config=config,
         am_params=am_params,
         graph=graph,
@@ -251,3 +287,12 @@ def load_model(path) -> NativeModel:
         silence_pdfs=maps["silence_pdfs"],
         topology=topo,
     )
+    # rescoring resources (reference loads rescore/G.fst + G.carpa,
+    # model.cc:308-314): graph LM to subtract + ARPA LM to add
+    if (p / "g.npz").exists():
+        model.g_fst = _load_std_fst(p / "g.npz")
+    if (p / "rescore.arpa").exists():
+        from ..graph.arpa import BackoffLm
+
+        model.rescore_lm = BackoffLm.read_arpa(p / "rescore.arpa", words)
+    return model

@@ -305,7 +305,10 @@ class Recognizer:
         lattice is the behavioral oracle and fallback."""
         from . import native_lattice
 
-        if native_lattice.available() and self._records:
+        rescoring = (
+            self.model.rescore_lm is not None and self.model.g_fst is not None
+        )
+        if not rescoring and native_lattice.available() and self._records:
             out = native_lattice.nbest_native(
                 self._records,
                 self._frontier,
@@ -320,11 +323,19 @@ class Recognizer:
             )
             if out:
                 return out
-        from ..graph.lattice import build_lattice
+        from ..graph.lattice import build_lattice, rescore_lattice
 
         lat, _ = build_lattice(
             self._records, self._frontier, 0, self.dec, use_final=use_final
         )
+        if rescoring:
+            # big-LM rescoring: subtract the graph's G, add the ARPA LM
+            # (reference recognizer.cc:680-693)
+            from ..graph.arpa import FstLm
+
+            if not hasattr(self, "_sub_lm"):
+                self._sub_lm = FstLm(self.model.g_fst)
+            lat = rescore_lattice(lat, self._sub_lm, self.model.rescore_lm)
         # reference applies GraphLatticeScale(0.9) before result extraction
         lat.scale_graph(0.9)
         lat = lat.prune(self.model.config.lattice_beam)

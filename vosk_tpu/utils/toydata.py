@@ -192,6 +192,7 @@ def build_toy_model(
         info["phone_of_pdf"],
         info["silence_pdfs"],
         topo,
+        g_fst=g,
     )
 
 
