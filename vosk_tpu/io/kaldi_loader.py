@@ -1,0 +1,227 @@
+"""Kaldi model-directory loader — layout + probing parity with the
+reference Model (src/model.cc:106-341): V1 flat layout (final.mdl +
+mfcc.conf) and V2 layout (am/ conf/ graph/ ivector/ rescore/), optional
+resources probed by existence.
+
+Produces a NativeModel whose AM is an Nnet3Am over the parsed network and
+whose decoding graph is the flattened (epsilon-reduced, degree-capped)
+HCLG with transition-ids mapped to pdfs.
+
+Supported today: final.mdl (TransitionModel + supported nnet3 component
+subset), HCLG.fst (vector/const), words.txt, mfcc/fbank conf, model.conf
+decode options, global CMVN stats.  Probed-but-unsupported resources
+(HCLr/Gr lookahead graphs, ivector extractors, G.carpa binary) raise or
+log explicit messages rather than silently degrading.
+"""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..graph.fst import SymbolTable, flatten_fst
+from ..graph.optimize import remove_epsilons, split_high_degree
+from ..models.am import Nnet3Am
+from ..utils.config import apply_options, read_config_file
+from ..utils.logging import log_info, log_warn
+from . import native
+from .kaldi_models import TransitionModel, raw_fst_to_std, read_fst
+from .nnet3 import AmNnetSimple, read_final_mdl
+
+
+@dataclasses.dataclass
+class DecodeOptions:
+    beam: float = 13.0
+    max_active: int = 7000
+    lattice_beam: float = 6.0
+    acoustic_scale: float = 1.0
+    frame_subsampling_factor: int = 3
+
+
+def is_kaldi_model_dir(path) -> bool:
+    p = Path(path)
+    v2 = (p / "am" / "final.mdl").exists() and (p / "conf" / "model.conf").exists()
+    v1 = (p / "final.mdl").exists() and (
+        (p / "mfcc.conf").exists() or (p / "fbank.conf").exists()
+    )
+    return v2 or v1
+
+
+def load_kaldi_model(path, max_out: int = 16) -> native.NativeModel:
+    p = Path(path)
+    v2 = (p / "am" / "final.mdl").exists() and (p / "conf" / "model.conf").exists()
+    if v2:
+        mdl = p / "am" / "final.mdl"
+        conf_dir = p / "conf"
+        graph_dir = p / "graph"
+        mfcc_conf = conf_dir / "mfcc.conf"
+        fbank_conf = conf_dir / "fbank.conf"
+        model_conf = conf_dir / "model.conf"
+        words_txt = graph_dir / "words.txt"
+        hclg = graph_dir / "HCLG.fst"
+        hclr = graph_dir / "HCLr.fst"
+        cmvn_stats = p / "am" / "global_cmvn.stats"
+    else:
+        mdl = p / "final.mdl"
+        mfcc_conf = p / "mfcc.conf"
+        fbank_conf = p / "fbank.conf"
+        model_conf = None
+        words_txt = p / "words.txt"
+        hclg = p / "HCLG.fst"
+        hclr = p / "HCLr.fst"
+        cmvn_stats = p / "global_cmvn.stats"
+
+    # ---- decode options (reference defaults, model.conf overrides)
+    opts = DecodeOptions()
+    endpoint_silence_phones = "1:2:3:4:5:6:7:8:9:10"
+    if model_conf is not None and model_conf.exists():
+        raw = read_config_file(model_conf)
+        apply_options(opts, raw)
+        endpoint_silence_phones = raw.get(
+            "endpoint.silence-phones", endpoint_silence_phones
+        )
+
+    # ---- acoustic model
+    tm, am_simple = read_final_mdl(mdl)
+    nnet_am = Nnet3Am(
+        am_simple.nnet,
+        subsample=opts.frame_subsampling_factor,
+        priors=am_simple.priors,
+    )
+    if nnet_am.has_ivector:
+        raise NotImplementedError(
+            "this Kaldi model requires an online i-vector extractor, which is "
+            "not wired into the runtime yet (ivector/ directory support TODO)"
+        )
+
+    # ---- feature config
+    feat_cfg: dict
+    if mfcc_conf.exists():
+        fraw = read_config_file(mfcc_conf)
+        feat_cfg = dict(
+            feature_type="mfcc",
+            frame_opts=_frame_opts(fraw),
+            mel_opts=_mel_opts(fraw),
+            mfcc_opts={
+                "num_ceps": int(fraw.get("num-ceps", 13)),
+                "use_energy": fraw.get("use-energy", "true") in ("true", "1"),
+            },
+        )
+    elif fbank_conf.exists():
+        fraw = read_config_file(fbank_conf)
+        feat_cfg = dict(
+            feature_type="fbank",
+            frame_opts=_frame_opts(fraw),
+            mel_opts=_mel_opts(fraw),
+        )
+    else:
+        raise FileNotFoundError("Failed to find feature config file")
+
+    # ---- graph
+    if hclg.exists():
+        log_info(f"Loading HCLG from {hclg}")
+        fst = raw_fst_to_std(read_fst(hclg))
+    elif hclr.exists():
+        raise NotImplementedError(
+            "HCLr/Gr lookahead graphs are not supported yet; compile an "
+            "HCLG.fst for this model"
+        )
+    else:
+        raise FileNotFoundError(f"no decoding graph in {path}")
+
+    id2pdf = tm.id2pdf()
+    id2phone = tm.id2phone()
+    fst = remove_epsilons(fst)
+    import math as _math
+
+    max_deg = max(
+        (sum(1 for a in arcs if a[0] != 0) for arcs in fst.arcs), default=0
+    )
+    if max_deg > max_out:
+        fst = split_high_degree(fst, max_out)
+    graph = flatten_fst(fst, ilabel_to_pdf=id2pdf)
+
+    # ---- words
+    if words_txt.exists():
+        words = SymbolTable.read_text(words_txt)
+    else:
+        raise FileNotFoundError(f"Could not read symbol table from {words_txt}")
+
+    # ---- silence pdfs from endpoint silence phones
+    sil_phones = {
+        int(x) for x in str(endpoint_silence_phones).split(":") if x.strip()
+    }
+    num_pdfs = tm.num_pdfs
+    sil_pdfs = sorted(
+        {
+            int(id2pdf[t])
+            for t in range(1, len(id2pdf))
+            if int(id2phone[t]) in sil_phones
+        }
+    )
+    phone_of_pdf = np.zeros(num_pdfs, np.int32)
+    for t in range(1, len(id2pdf)):
+        phone_of_pdf[int(id2pdf[t])] = int(id2phone[t])
+
+    config = native.ModelConfig(
+        sample_rate=float(
+            read_config_file(mfcc_conf if mfcc_conf.exists() else fbank_conf).get(
+                "sample-frequency", 16000
+            )
+        ),
+        beam=opts.beam,
+        max_active=opts.max_active,
+        lattice_beam=opts.lattice_beam,
+        acoustic_scale=opts.acoustic_scale,
+        frame_shift_seconds=0.01 * opts.frame_subsampling_factor,
+        **feat_cfg,
+    )
+
+    model = native.NativeModel(
+        config=config,
+        am_params={},
+        graph=graph,
+        words=words,
+        phones=SymbolTable(["<eps>"]),
+        lexicon=None,
+        phone_of_pdf=phone_of_pdf,
+        silence_pdfs=np.asarray(sil_pdfs, np.int32),
+        topology=native.Topology(),
+        am_override=nnet_am,
+    )
+    if cmvn_stats.exists():
+        from .kaldiio import read_kaldi_matrix
+
+        log_info(f"Reading CMVN stats from {cmvn_stats}")
+        model.global_cmvn_stats = read_kaldi_matrix(cmvn_stats)
+    return model
+
+
+def _frame_opts(raw: dict) -> dict:
+    out = {}
+    mapping = {
+        "dither": ("dither", float),
+        "frame-length": ("frame_length_ms", float),
+        "frame-shift": ("frame_shift_ms", float),
+        "preemphasis-coefficient": ("preemphasis_coefficient", float),
+        "remove-dc-offset": ("remove_dc_offset", lambda v: v in ("true", "1")),
+        "window-type": ("window_type", str),
+        "snip-edges": ("snip_edges", lambda v: v in ("true", "1")),
+    }
+    for k, (name, conv) in mapping.items():
+        if k in raw:
+            out[name] = conv(raw[k])
+    return out
+
+
+def _mel_opts(raw: dict) -> dict:
+    out = {}
+    if "num-mel-bins" in raw:
+        out["num_bins"] = int(raw["num-mel-bins"])
+    if "low-freq" in raw:
+        out["low_freq"] = float(raw["low-freq"])
+    if "high-freq" in raw:
+        out["high_freq"] = float(raw["high-freq"])
+    return out
