@@ -46,10 +46,21 @@ class Model:
     (vosk_api.h:24-27)."""
 
     def __init__(self, model_path=None, model_name=None, lang=None):
+        from pathlib import Path as _P
+
         from .io import native
 
         path = _resolve_model_path(model_path, model_name, lang)
-        self._model = native.load_model(path)
+        if (_P(path) / "vosk_tpu_model.json").exists():
+            self._model = native.load_model(path)
+        else:
+            # Kaldi model-dir layouts (reference model.cc:106-128 probing)
+            from .io.kaldi_loader import is_kaldi_model_dir, load_kaldi_model
+
+            if is_kaldi_model_dir(path):
+                self._model = load_kaldi_model(path)
+            else:
+                self._model = native.load_model(path)  # raises the std error
         self._decoder_cache: dict = {}
 
     def vosk_model_find_word(self, word: str) -> int:
