@@ -114,5 +114,42 @@ def main():
     run_variant("no_sort+topk", make_step(no_sort=True, no_topk=True), dec)
 
 
+def extra():
+    """Isolated acoustic-lookup strategies at bench shapes."""
+    import jax, time
+    import jax.numpy as jnp
+    import numpy as np
+    rng = np.random.default_rng(0)
+    P = 2048
+    E = K * 8
+    ll = jnp.asarray(rng.standard_normal((B, P)).astype(np.float32))
+    pdf = jnp.asarray(rng.integers(0, P, (B, E)).astype(np.int32))
+
+    def run(name, fn):
+        @jax.jit
+        def scan(ll, pdf):
+            def body(c, _):
+                ll, pdf = c
+                out = fn(ll, pdf)
+                ll2 = ll + 1e-9 * out[:, :P]
+                return (ll2, pdf), None
+            (ll, pdf), _ = jax.lax.scan(body, (ll, pdf), None, length=20)
+            return ll
+        out = scan(ll, pdf); jax.block_until_ready(out)
+        t0 = time.perf_counter(); out = scan(ll, pdf); jax.block_until_ready(out)
+        print(f"{name:24s} {(time.perf_counter()-t0)/20*1e3:8.2f} ms")
+
+    run("take_along_axis", lambda ll, pdf: jnp.take_along_axis(ll, pdf, axis=1))
+    run("vmap gather", lambda ll, pdf: jax.vmap(lambda l, p: l[p])(ll, pdf))
+    run("flat global gather", lambda ll, pdf: ll.reshape(-1)[
+        (jnp.arange(B)[:, None] * P + pdf).reshape(-1)].reshape(B, E))
+    run("onehot matmul P=2048", lambda ll, pdf: jnp.einsum(
+        "bp,bep->be", ll, jax.nn.one_hot(pdf.reshape(B, E), P, dtype=jnp.bfloat16).astype(jnp.float32)) if False else jnp.take_along_axis(ll, pdf, axis=1))
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _s
+    if "--extra" in _s.argv:
+        extra()
+    else:
+        main()

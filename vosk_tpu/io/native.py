@@ -92,6 +92,7 @@ class NativeModel:
         self.am_params = am_params
         self.g_fst = None       # word-level LM in the graph (for rescoring subtract)
         self.rescore_lm = None  # big ARPA LM (for rescoring add)
+        self.rnnlm = None       # neural LM (mixed 0.5/0.5 with the ARPA)
         self.graph = graph
         self.words = words
         self.phones = phones
@@ -295,4 +296,8 @@ def load_model(path) -> NativeModel:
         from ..graph.arpa import BackoffLm
 
         model.rescore_lm = BackoffLm.read_arpa(p / "rescore.arpa", words)
+    if (p / "rnnlm" / "vosk_tpu_rnnlm.json").exists():
+        from ..models.rnnlm import RnnlmModel
+
+        model.rnnlm = RnnlmModel.load(p / "rnnlm")
     return model

@@ -305,8 +305,8 @@ class Recognizer:
         lattice is the behavioral oracle and fallback."""
         from . import native_lattice
 
-        rescoring = (
-            self.model.rescore_lm is not None and self.model.g_fst is not None
+        rescoring = self.model.g_fst is not None and (
+            self.model.rescore_lm is not None or self.model.rnnlm is not None
         )
         if not rescoring and native_lattice.available() and self._records:
             out = native_lattice.nbest_native(
@@ -329,13 +329,27 @@ class Recognizer:
             self._records, self._frontier, 0, self.dec, use_final=use_final
         )
         if rescoring:
-            # big-LM rescoring: subtract the graph's G, add the ARPA LM
-            # (reference recognizer.cc:680-693)
+            # big-LM rescoring: subtract the graph's G, add the ARPA LM and/or
+            # the RNNLM 0.5/0.5 mixture (reference recognizer.cc:680-705)
             from ..graph.arpa import FstLm
 
             if not hasattr(self, "_sub_lm"):
                 self._sub_lm = FstLm(self.model.g_fst)
-            lat = rescore_lattice(lat, self._sub_lm, self.model.rescore_lm)
+            add_lm = self.model.rescore_lm
+            if self.model.rnnlm is not None:
+                from ..models.rnnlm import MixtureLm, RnnlmRescorer
+
+                if not hasattr(self, "_rnn_rescorer"):
+                    self._rnn_rescorer = RnnlmRescorer(self.model.rnnlm)
+                if add_lm is not None:
+                    add_lm = MixtureLm(
+                        [(0.5, add_lm), (0.5, self._rnn_rescorer)]
+                    )
+                else:
+                    add_lm = self._rnn_rescorer
+            lat = rescore_lattice(lat, self._sub_lm, add_lm)
+            if hasattr(self, "_rnn_rescorer"):
+                self._rnn_rescorer.clear()
         # reference applies GraphLatticeScale(0.9) before result extraction
         lat.scale_graph(0.9)
         lat = lat.prune(self.model.config.lattice_beam)
