@@ -78,6 +78,22 @@ def test_set_spk_model_after_init(model, spk_model):
     assert "spk" in res
 
 
+def test_kaldi_spk_roundtrip(spk_model, tmp_path):
+    """Native spk model -> Kaldi layout (final.ext.raw/mean.vec/
+    transform.mat) -> loaded back -> identical embeddings."""
+    from vosk_tpu.models.xvector import SpkModel, export_kaldi_spk_model
+
+    native = spk_model._model
+    out = tmp_path / "spk_kaldi"
+    export_kaldi_spk_model(native, out)
+    loaded = SpkModel.load(out)
+    rng = np.random.default_rng(7)
+    feats = rng.standard_normal((80, native.cfg.feat_dim)).astype(np.float32)
+    v1 = native.extract(feats)
+    v2 = loaded.extract(feats)
+    np.testing.assert_allclose(v1, v2, rtol=1e-4, atol=1e-4)
+
+
 def test_short_audio_no_spk_vector(model, spk_model):
     """< MIN_SPK_FEATS nonsilence frames -> no spk output
     (reference recognizer.cc:354,387)."""

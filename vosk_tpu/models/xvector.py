@@ -91,6 +91,8 @@ class SpkModel:
         p = Path(path)
         cfg_file = p / "vosk_tpu_spk.json"
         if not cfg_file.exists():
+            if (p / "final.ext.raw").exists():
+                return load_kaldi_spk_model(p)
             raise FileNotFoundError(f"Folder '{path}' does not contain a speaker model")
         cfg = XvectorConfig(**json.loads(cfg_file.read_text()))
         z = np.load(p / "spk.npz")
@@ -110,6 +112,104 @@ class SpkModel:
             mean=self.mean,
             transform=self.transform,
         )
+
+
+class KaldiSpkModel:
+    """Speaker model backed by a parsed nnet3 x-vector network (Kaldi
+    final.ext.raw layout, reference spk_model.cc:17-32)."""
+
+    def __init__(self, net, mean, transform, feat_dim: int):
+        import jax as _jax
+
+        self.net = net
+        self.mean = np.asarray(mean, np.float32)
+        self.transform = np.asarray(transform, np.float32)
+        self.cfg = XvectorConfig(feat_dim=feat_dim, embed_dim=len(mean))
+
+    def extract(self, feats: np.ndarray) -> np.ndarray:
+        out = np.asarray(self.net.evaluate({"input": feats}))
+        xvec = out[0] - self.mean
+        v = self.transform @ xvec
+        norm = np.linalg.norm(v)
+        ratio = norm / np.sqrt(v.shape[0])
+        return v / ratio if ratio > 0 else v
+
+
+def load_kaldi_spk_model(path) -> "KaldiSpkModel":
+    """Read a Kaldi speaker-model dir: final.ext.raw (raw nnet3), mean.vec,
+    transform.mat, mfcc.conf."""
+    from pathlib import Path
+
+    from ..io.kaldiio import (
+        open_kaldi,
+        read_kaldi_matrix,
+        read_kaldi_vector,
+    )
+    from ..io.nnet3 import Nnet3
+    from ..utils.config import read_config_file
+
+    p = Path(path)
+    r, binary = open_kaldi(p / "final.ext.raw")
+    if not binary:
+        raise ValueError("text-mode final.ext.raw not supported")
+    net = Nnet3.read(r)
+    mean = read_kaldi_vector(p / "mean.vec")
+    transform = read_kaldi_matrix(p / "transform.mat")
+    feat_dim = net.nodes["input"].dim
+    return KaldiSpkModel(net, mean, transform, feat_dim)
+
+
+def export_kaldi_spk_model(spk: "SpkModel", out_dir) -> None:
+    """Write a native SpkModel as a Kaldi-layout speaker dir (round-trip
+    validation of the reading path)."""
+    from pathlib import Path
+
+    from ..io import nnet3 as n3
+    from ..io.kaldiio import BinaryWriter, write_kaldi_object
+
+    p = Path(out_dir)
+    p.mkdir(parents=True, exist_ok=True)
+    cfg = spk.cfg
+    net = n3.Nnet3()
+    lines = [f"input-node name=input dim={cfg.feat_dim}"]
+    comps = {}
+    offs = list(range(-cfg.context, cfg.context + 1))
+    splice = ", ".join(
+        f"Offset(input, {o})" if o else "input" for o in offs
+    )
+    prev = None
+    for i in range(cfg.num_layers):
+        inp = f"Append({splice})" if i == 0 else prev
+        lines.append(f"component-node name=l{i}.affine component=l{i}.affine input={inp}")
+        comps[f"l{i}.affine"] = n3.AffineComponent(
+            np.asarray(spk.params[f"l{i}_w"]).T, np.asarray(spk.params[f"l{i}_b"])
+        )
+        lines.append(f"component-node name=l{i}.relu component=l{i}.relu input=l{i}.affine")
+        comps[f"l{i}.relu"] = n3.NonlinComponent(cfg.hidden_dim, "RectifiedLinearComponent")
+        prev = f"l{i}.relu"
+    lines.append(f"component-node name=stats_ex component=stats_ex input={prev}")
+    comps["stats_ex"] = n3.StatisticsExtractionComponent(cfg.hidden_dim, 1, 1, True)
+    lines.append("component-node name=stats_pool component=stats_pool input=stats_ex")
+    comps["stats_pool"] = n3.StatisticsPoolingComponent(
+        1 + 2 * cfg.hidden_dim, 1, -1000, 1000, 0, True
+    )
+    lines.append("component-node name=post component=post input=stats_pool")
+    comps["post"] = n3.AffineComponent(
+        np.asarray(spk.params["post_w"]).T, np.asarray(spk.params["post_b"])
+    )
+    lines.append("output-node name=output input=post objective=linear")
+    for line in lines:
+        net._parse_config_line(line)
+    net.components = comps
+    net.component_order = list(comps)
+
+    write_kaldi_object(p / "final.ext.raw", net.write)
+    write_kaldi_object(p / "mean.vec", lambda w: w.write_vector(spk.mean))
+    write_kaldi_object(p / "transform.mat", lambda w: w.write_matrix(spk.transform))
+    (p / "mfcc.conf").write_text(
+        f"--num-ceps={cfg.feat_dim}\n--num-mel-bins={cfg.feat_dim + 3}\n"
+        "--use-energy=false\n"
+    )
 
 
 MIN_SPK_FEATS = 50  # reference recognizer.cc:354
