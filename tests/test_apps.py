@@ -70,6 +70,51 @@ def test_cli_directory(model_dir, wav_file, tmp_path):
     assert (out_dir / "b.txt").read_text().strip() == "one five zero"
 
 
+def test_cli_server_mode(model_dir, wav_file, tmp_path):
+    """CLI --server mode against a live ws server (reference
+    transcriber.py:51-72 client protocol)."""
+    import threading
+
+    from vosk_tpu.server import wsproto
+    from vosk_tpu.server.ws import ASRServer
+
+    port_holder = {}
+
+    def serve():
+        async def run():
+            model = vosk_tpu.Model(model_dir)
+            srv = ASRServer(model)
+            server = await wsproto.serve(srv.handle, "127.0.0.1", 0)
+            port_holder["port"] = server.sockets[0].getsockname()[1]
+            port_holder["loop"] = asyncio.get_running_loop()
+            async with server:
+                try:
+                    await server.serve_forever()
+                except asyncio.CancelledError:
+                    pass
+
+        asyncio.run(run())
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    for _ in range(100):
+        if "port" in port_holder:
+            break
+        import time
+
+        time.sleep(0.1)
+    port = port_holder["port"]
+
+    out = tmp_path / "server_out.txt"
+    run_cli(
+        [
+            "-i", wav_file, "-o", str(out), "-t", "txt",
+            "--server", f"ws://127.0.0.1:{port}", "--tasks", "1",
+        ]
+    )
+    assert out.read_text().strip() == "one five zero"
+
+
 def test_ws_server_roundtrip(model_dir):
     """Full protocol: config -> chunks -> eof over a real socket."""
     from vosk_tpu.server import wsproto

@@ -191,6 +191,37 @@ def test_endpoint_detection(model):
     assert got_endpoint
 
 
+def test_batch_reset_on_endpoint(model):
+    """Batch pipeline segments utterances at silence (reference
+    reset_on_endpoint, batch_model.cc:72): two spoken phrases separated by
+    long silence come back as separate queued results."""
+    rng = np.random.default_rng(0)
+    silence = (60.0 * rng.standard_normal(16000 * 3)).astype(np.float32)
+    u1 = toydata.make_test_wav(["one", "two"], seed=40)
+    u2 = toydata.make_test_wav(["seven"], seed=41)
+    audio = np.concatenate([u1, silence, u2])
+    pcm = np.clip(audio, -32768, 32767).astype("<i2").tobytes()
+
+    bm = vosk_tpu.BatchModel(TOY_DIR, max_batch_size=2)
+    rec = vosk_tpu.BatchRecognizer(bm, 16000)
+    for i in range(0, len(pcm), 6400):
+        rec.AcceptWaveform(pcm[i : i + 6400])
+        bm.Wait()
+    rec.FinishStream()
+    bm.Wait()
+    texts = []
+    while True:
+        r = rec.Result()
+        if not r:
+            break
+        texts.append(json.loads(r)["text"])
+    non_empty = [t for t in texts if t]
+    assert non_empty[0] == "one two"
+    assert "seven" in " ".join(non_empty[1:])
+    # segment timestamps continue across the reset
+    assert len(texts) >= 2
+
+
 def test_batch_recognizer(model):
     """Batch pipeline (reference test_gpu_batch.py driver loop)."""
     bm = vosk_tpu.BatchModel(TOY_DIR, max_batch_size=4)

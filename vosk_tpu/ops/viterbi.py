@@ -80,8 +80,9 @@ class BatchViterbi:
         self.Ee = eps_expand_budget or max(
             128, min(K * max(graph.max_eps_out, 1), 1 << 18)
         )
-        self.eps_iters = graph.eps_depth
         self.has_eps = graph.num_eps_arcs > 0
+        # no eps arcs -> no closure rounds, regardless of claimed depth
+        self.eps_iters = graph.eps_depth if self.has_eps else 0
         # lattice candidate budget per level (must fit both candidate pools)
         R = lattice_budget or max(self.K, min(2048, self.E))
         self.R = min(max(R, self.K), self.E, self.K + self.Ee)

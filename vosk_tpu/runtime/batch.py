@@ -40,9 +40,21 @@ def _resample_linear(wave: np.ndarray, src_rate: float, dst_rate: float) -> np.n
 class BatchPipeline:
     """Shared fixed-B streaming pipeline over one model."""
 
-    def __init__(self, model: NativeModel, max_batch_size: int = 32):
+    def __init__(
+        self,
+        model: NativeModel,
+        max_batch_size: int = 32,
+        reset_on_endpoint: bool = True,
+        endpoint_interval: int = 1,
+    ):
         self.model = model
         self.B = max_batch_size
+        # segment utterances at silence like the reference CUDA pipeline
+        # (reset_on_endpoint, batch_model.cc:72); each segment's result is
+        # queued separately
+        self.reset_on_endpoint = reset_on_endpoint
+        self.endpoint_interval = max(endpoint_interval, 1)
+        self.rules = model.endpoint_rules()
         self.ex = model.feature_extractor()
         self.am = model.make_am()
         self.dec = BatchViterbi(
@@ -66,6 +78,9 @@ class BatchPipeline:
         self._free = deque(range(self.B))
         self._chunks: Dict[int, deque] = {}  # channel -> pending np chunks
         self._streams: Dict[int, "BatchRecognizer"] = {}
+        self._utt_frames = np.zeros(self.B, np.int64)
+        self._frame_offset = np.zeros(self.B, np.int64)
+        self._steps_since_ep = 0
 
     # ------------------------------------------------------------ streams
 
@@ -79,6 +94,8 @@ class BatchPipeline:
             ch = self._free.popleft()
             self._chunks[ch] = deque()
             self._streams[ch] = rec
+            self._utt_frames[ch] = 0
+            self._frame_offset[ch] = 0
             self._reset_channel(ch)
             return ch
 
@@ -139,13 +156,52 @@ class BatchPipeline:
             self._advance_decoder(ll, lvalid, active_mask=nsamp > 0)
             return True
 
-    def _advance_decoder(self, ll, lvalid, active_mask) -> None:
+    def _advance_decoder(self, ll, lvalid, active_mask, check_endpoints=True) -> None:
         self._frontier, recs, best, bestf = self.dec.decode_chunk(
             self._frontier, ll, lvalid
         )
+        nvalid = np.asarray(lvalid).sum(axis=1)
         for ch in range(self.B):
             if active_mask[ch] and ch in self._streams:
                 self._records[ch].append(recs)
+                self._utt_frames[ch] += int(nvalid[ch])
+        if self.reset_on_endpoint and check_endpoints:
+            self._steps_since_ep += 1
+            if self._steps_since_ep >= self.endpoint_interval:
+                self._steps_since_ep = 0
+                best_np = np.asarray(best)
+                bestf_np = np.asarray(bestf)
+                for ch in list(self._streams):
+                    if active_mask[ch] and self._utt_frames[ch] > 0:
+                        self._maybe_endpoint(ch, best_np[ch], bestf_np[ch])
+
+    def _maybe_endpoint(self, ch: int, best: float, best_final: float) -> None:
+        from . import endpoint as ep
+
+        _, _, pdfs = self.dec.traceback(
+            self._records[ch], self._frontier, ch, use_final=False
+        )
+        trailing, has_speech = ep.trailing_silence(pdfs, self.model.silence_pdfs)
+        rel = float(best_final) - float(best)
+        fired = ep.endpoint_detected(
+            self.rules,
+            int(self._utt_frames[ch]),
+            trailing,
+            rel,
+            self.model.config.frame_shift_seconds,
+            has_speech,
+        )
+        if fired:
+            result = self.finalize(ch)
+            self._streams[ch]._results.append(result)
+            # restart decoding for the next segment, keep feature/AM streams
+            d0 = self.dec.init_frontier(1)
+            self._frontier = {
+                k: self._frontier[k].at[ch].set(d0[k][0]) for k in self._frontier
+            }
+            self._frame_offset[ch] += self._utt_frames[ch]
+            self._utt_frames[ch] = 0
+            self._records[ch] = []
 
     def drain(self) -> None:
         while self.step():
@@ -159,7 +215,7 @@ class BatchPipeline:
             mask = np.zeros((self.B,), bool)
             mask[ch] = True
             self._am_state, ll, lvalid = self._masked_flush(mask)
-            self._advance_decoder(ll, lvalid, active_mask=mask)
+            self._advance_decoder(ll, lvalid, active_mask=mask, check_endpoints=False)
 
     def _masked_flush(self, mask: np.ndarray):
         state = self._am_state
@@ -192,11 +248,12 @@ class BatchPipeline:
                 f1 = ols_frames[i + 1][1] if i + 1 < len(ols_frames) else T
                 while f1 > f0 + 1 and pdfs[f1 - 1] in sil:
                     f1 -= 1
+                off = int(self._frame_offset[ch])
                 words.append(
                     jsonout.WordResult(
                         self.model.words.name(wid),
-                        f0 * self.model.config.frame_shift_seconds,
-                        f1 * self.model.config.frame_shift_seconds,
+                        (off + f0) * self.model.config.frame_shift_seconds,
+                        (off + f1) * self.model.config.frame_shift_seconds,
                         1.0,
                     )
                 )

@@ -69,7 +69,7 @@ def make_bench_graph(
         eps_w=eps_w,
         eps_next=eps_next,
         final_cost=final_cost,
-        eps_depth=2,
+        eps_depth=2 if An else 0,
         max_em_out=int(em_cnt.max()),
         max_eps_out=1,
     )
