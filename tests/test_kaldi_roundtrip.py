@@ -60,6 +60,25 @@ def test_kaldi_dir_decodes_like_native(kaldi_dir):
         assert results[1] == results[0], f"kaldi path diverged: {results}"
 
 
+def test_kaldi_dir_batch_pipeline(kaldi_dir):
+    """Kaldi-layout model through the batch pipeline (Nnet3Am batched)."""
+    bm = vosk_tpu.BatchModel(kaldi_dir, max_batch_size=2)
+    rec = vosk_tpu.BatchRecognizer(bm, 16000)
+    wav = toydata.make_test_wav(["six", "four"], seed=210)
+    rec.AcceptWaveform(np.clip(wav, -32768, 32767).astype("<i2").tobytes())
+    rec.FinishStream()
+    bm.Wait()
+    import json as _json
+
+    texts = []
+    while True:
+        r = rec.Result()
+        if not r:
+            break
+        texts.append(_json.loads(r)["text"])
+    assert "six four" in " ".join(texts)
+
+
 def test_kaldi_model_find_word(kaldi_dir):
     m = vosk_tpu.Model(kaldi_dir)
     assert m.FindWord("one") > 0

@@ -51,16 +51,7 @@ class Model:
         from .io import native
 
         path = _resolve_model_path(model_path, model_name, lang)
-        if (_P(path) / "vosk_tpu_model.json").exists():
-            self._model = native.load_model(path)
-        else:
-            # Kaldi model-dir layouts (reference model.cc:106-128 probing)
-            from .io.kaldi_loader import is_kaldi_model_dir, load_kaldi_model
-
-            if is_kaldi_model_dir(path):
-                self._model = load_kaldi_model(path)
-            else:
-                self._model = native.load_model(path)  # raises the std error
+        self._model = native.load_any(path)
         self._decoder_cache: dict = {}
 
     def vosk_model_find_word(self, word: str) -> int:

@@ -232,6 +232,19 @@ def save_model(
                     f.write(f"{lexicon.words.name(wid)} {syms}\n")
 
 
+def load_any(path) -> NativeModel:
+    """Load a model dir of any supported layout: native vosk_tpu format or
+    Kaldi V1/V2 layouts (reference model.cc:106-128 probing)."""
+    p = Path(path)
+    if (p / CONFIG_NAME).exists():
+        return load_model(path)
+    from .kaldi_loader import is_kaldi_model_dir, load_kaldi_model
+
+    if is_kaldi_model_dir(path):
+        return load_kaldi_model(path)
+    return load_model(path)  # raises the standard error message
+
+
 def load_model(path) -> NativeModel:
     p = Path(path)
     cfg_path = p / CONFIG_NAME

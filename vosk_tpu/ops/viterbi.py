@@ -257,36 +257,158 @@ class BatchViterbi:
 
     # ------------------------------------------------------------- one frame
 
-    def _frame_step_padded(self, frontier, rows, ac, valid):
-        """Per-channel frame step (padded layout) with the two expensive
-        gathers (arc rows, acoustic lookup) hoisted to batch level — vmapped
-        per-channel gathers from per-channel operands lower catastrophically
-        on TPU (~20 ms/frame at B=256), batch-level take_along_axis does not.
+    def _frame_step_batched(self, frontier, ll, valid):
+        """Whole-batch frame step for the padded layout — no vmap anywhere,
+        every op natively batched ([B, E] sorts/top_k/gathers).  vmap
+        batching rules for gather/sort produced pathological TPU lowerings;
+        this path is the production hot loop.
 
-        rows: [K, 4M] pre-gathered arc rows; ac: [K, M] acoustic values.
+        ll: [B, P] acoustic rows; valid: [B] bool.
         """
-        K = self.K
+        K, M, E, S = self.K, self.M, self.E, self.S
+        beam = self.params.beam
         scale = self.params.acoustic_scale
-        tok_state, tok_cost = frontier["state"], frontier["cost"]
-        M, E = self.M, self.E
-        w = rows[:, :M]
-        ns = jax.lax.bitcast_convert_type(rows[:, M : 2 * M], jnp.int32)
-        pdf = jax.lax.bitcast_convert_type(rows[:, 2 * M : 3 * M], jnp.int32)
-        olab = jax.lax.bitcast_convert_type(rows[:, 3 * M :], jnp.int32)
-        cost = tok_cost[:, None] + w - scale * ac
-        e_ids = jnp.arange(E, dtype=jnp.int32)
-        tok = e_ids // M
-        arc = tok_state[tok] * M + (e_ids % M)  # dense arc id (lattice)
-        ns, cost, pdf, olab = (
-            ns.reshape(E),
-            cost.reshape(E),
-            pdf.reshape(E),
-            olab.reshape(E),
+        tok_state, tok_cost = frontier["state"], frontier["cost"]  # [B, K]
+        B = tok_state.shape[0]
+
+        rows = self.em_pack[tok_state]  # [B, K, 4M] shared-operand gather
+        w = rows[:, :, :M].reshape(B, E)
+        ns = jax.lax.bitcast_convert_type(rows[:, :, M : 2 * M], jnp.int32).reshape(B, E)
+        pdf = jax.lax.bitcast_convert_type(rows[:, :, 2 * M : 3 * M], jnp.int32).reshape(B, E)
+        olab = jax.lax.bitcast_convert_type(rows[:, :, 3 * M :], jnp.int32).reshape(B, E)
+        ac = jnp.take_along_axis(ll, pdf, axis=1)
+        e_ids = jnp.broadcast_to(jnp.arange(E, dtype=jnp.int32), (B, E))
+        tok_of_e = e_ids // M
+        cost = jnp.repeat(tok_cost, M, axis=1) + w - scale * ac
+        mask = jnp.isfinite(w)
+
+        nsm = jnp.where(mask, ns, S)
+        cm = jnp.where(mask, cost, INF)
+        s_ns, s_cost, s_idx = jax.lax.sort((nsm, cm, e_ids), num_keys=2, dimension=1)
+        first = jnp.concatenate(
+            [jnp.ones((B, 1), bool), s_ns[:, 1:] != s_ns[:, :-1]], axis=1
         )
-        mask = jnp.isfinite(w.reshape(E))
-        return self._frame_finish(
-            frontier, tok, arc, ns, cost, pdf, olab, mask, valid
+        winner = first & (s_ns != S) & jnp.isfinite(s_cost)
+        wcost = jnp.where(winner, s_cost, INF)
+        neg, sel2 = jax.lax.top_k(-wcost, K)
+        new_cost = -neg
+        best = new_cost[:, :1]
+        keep = new_cost <= best + beam
+        new_state = jnp.where(keep, jnp.take_along_axis(s_ns, sel2, axis=1), S)
+        new_cost = jnp.where(keep, new_cost, INF)
+        sel = jnp.take_along_axis(s_idx, sel2, axis=1)  # [B, K] candidate ids
+
+        tok = sel // M
+        sel_pdf = jnp.take_along_axis(pdf, sel, axis=1)
+        rec = {
+            "prev": jnp.where(keep, tok, -1),
+            "olabel": jnp.where(keep, jnp.take_along_axis(olab, sel, axis=1), 0),
+            "pdf": jnp.where(keep, sel_pdf, -1),
+        }
+        if self.lattice_records:
+            arc = jnp.take_along_axis(tok_state, tok, axis=1) * M + sel % M
+            R = self.R
+            lneg, lsel = jax.lax.top_k(-cm, R)
+            lcost = -lneg
+            lkeep = lcost <= best + self.params.lattice_beam
+            l_tok = lsel // M
+            l_arc = jnp.take_along_axis(tok_state, l_tok, axis=1) * M + lsel % M
+            rec.update(
+                {
+                    "f_state": new_state,
+                    "f_cost": new_cost,
+                    "lat_ns": jnp.where(lkeep, jnp.take_along_axis(nsm, lsel, axis=1), S),
+                    "lat_prev": jnp.where(lkeep, l_tok, -1),
+                    "lat_arc": jnp.where(lkeep, l_arc, -1),
+                    "lat_cost": jnp.where(lkeep, lcost, INF),
+                }
+            )
+
+        # eps closure rounds (rare after load-time eps removal): reuse the
+        # per-channel path under vmap
+        cur_state, cur_cost = new_state, new_cost
+        rec_levels = [rec]
+        for _ in range(self.eps_iters):
+            (cur_state, cur_cost), lvl_rec = jax.vmap(self._eps_level)(
+                cur_state, cur_cost
+            )
+            rec_levels.append(lvl_rec)
+
+        vb = valid[:, None]
+        new_frontier = {
+            "state": jnp.where(vb, cur_state, tok_state),
+            "cost": jnp.where(vb, cur_cost, tok_cost),
+        }
+        slot = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (B, K))
+        ident = {
+            "prev": slot,
+            "olabel": jnp.zeros((B, K), jnp.int32),
+            "pdf": jnp.full((B, K), -1, jnp.int32),
+        }
+        if self.lattice_records:
+            R = self.R
+            pad_i = jnp.full((B, R - K), -1, jnp.int32) if R > K else None
+
+            def padk(x, fill):
+                if R > K:
+                    return jnp.concatenate(
+                        [x, jnp.full((B, R - K), fill, x.dtype)], axis=1
+                    )
+                return x[:, :R]
+
+            ident.update(
+                {
+                    "f_state": tok_state,
+                    "f_cost": tok_cost,
+                    "lat_ns": padk(tok_state, S),
+                    "lat_prev": padk(slot, -1),
+                    "lat_arc": jnp.full((B, R), -1, jnp.int32),
+                    "lat_cost": padk(tok_cost, jnp.inf),
+                }
+            )
+        records = {
+            k: jnp.stack(
+                [
+                    jnp.where(
+                        vb if lvl[k].ndim == 2 else vb[:, :, None],
+                        lvl[k],
+                        ident[k],
+                    )
+                    for lvl in rec_levels
+                ],
+                axis=1,
+            )
+            for k in rec_levels[0]
+        }
+        return new_frontier, records
+
+    def _eps_level(self, cur_state, cur_cost):
+        """One per-channel epsilon-closure round (vmapped)."""
+        K = self.K
+        toke, arce, maske, _ovfe = self._expand(
+            cur_state, cur_cost, self.eps_off, self.Ee
         )
+        ecost = cur_cost[toke] + self.eps_w[arce]
+        ens = self.eps_next[arce]
+        slot = jnp.arange(K, dtype=jnp.int32)
+        all_ns = jnp.concatenate([cur_state, ens])
+        all_cost = jnp.concatenate([cur_cost, ecost])
+        all_mask = jnp.concatenate([cur_state != self.S, maske])
+        all_prev = jnp.concatenate([slot, toke])
+        all_ol = jnp.concatenate([jnp.zeros(K, jnp.int32), self.eps_olabel[arce]])
+        sel2, st2, c2, keep2 = self._dedup_prune(all_ns, all_cost, all_mask)
+        lvl_rec = {
+            "prev": jnp.where(keep2, all_prev[sel2], -1),
+            "olabel": jnp.where(keep2, all_ol[sel2], 0),
+            "pdf": jnp.full((K,), -1, jnp.int32),
+        }
+        if self.lattice_records:
+            all_arc = jnp.concatenate([jnp.full((K,), -1, jnp.int32), arce])
+            lvl_rec.update(
+                self._lattice_level(all_ns, all_cost, all_mask, all_prev, all_arc, c2)
+            )
+            lvl_rec["f_state"], lvl_rec["f_cost"] = st2, c2
+        return (st2, c2), lvl_rec
 
     def _frame_step(self, frontier, loglike, valid):
         """Advance one channel one frame (CSR layout).
@@ -412,16 +534,7 @@ class BatchViterbi:
         def step(car, xs):
             ll, v = xs
             if self.layout == "padded":
-                M, E = self.M, self.E
-                B = ll.shape[0]
-                rows = self.em_pack[car["state"]]  # [B, K, 4M] shared-operand
-                pdf = jax.lax.bitcast_convert_type(
-                    rows[:, :, 2 * M : 3 * M], jnp.int32
-                )
-                ac = jnp.take_along_axis(
-                    ll, pdf.reshape(B, E), axis=1
-                ).reshape(B, self.K, M)
-                f2, rec = jax.vmap(self._frame_step_padded)(car, rows, ac, v)
+                f2, rec = self._frame_step_batched(car, ll, v)
             else:
                 f2, rec = jax.vmap(self._frame_step)(car, ll, v)
             return f2, rec

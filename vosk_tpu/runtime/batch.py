@@ -268,7 +268,7 @@ class BatchModel:
         from ..io import native
 
         path = _resolve_model_path(model_path, model_name, lang)
-        self._model = native.load_model(path)
+        self._model = native.load_any(path)
         self._pipeline = BatchPipeline(self._model, max_batch_size)
 
     def Wait(self) -> None:
