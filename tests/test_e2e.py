@@ -168,6 +168,17 @@ def test_grammar_oov_word_skipped(model):
     assert res["text"] == "one two"
 
 
+def test_accept_numpy_arrays(model):
+    """accept_waveform_s/_f parity: int16 and float arrays, not just bytes
+    (vosk_api.h:224-231)."""
+    wav = toydata.make_test_wav(["zero", "six"], seed=33)
+    for arr in (wav.astype(np.int16), wav.astype(np.float32)):
+        rec = vosk_tpu.KaldiRecognizer(model, 16000)
+        rec.AcceptWaveform(arr)
+        res = json.loads(rec.FinalResult())
+        assert res["text"] == "zero six"
+
+
 def test_find_word(model):
     assert model.FindWord("one") > 0
     assert model.FindWord("notaword") == -1
