@@ -123,6 +123,11 @@ class KaldiRecognizer:
     def Reset(self) -> None:
         self._rec.reset()
 
+    def GetMetrics(self) -> dict:
+        """vosk_tpu extension: per-stage timing report (features /
+        acoustic_model / decoder / finishing seconds, xRT)."""
+        return self._rec.get_metrics()
+
 
 def SetLogLevel(level: int) -> None:
     """vosk_set_log_level parity (vosk_api.h:287-294)."""

@@ -91,6 +91,9 @@ class Recognizer:
         self.samples_processed_ = 0
         self.samples_round_start_ = 0
 
+        from ..utils.metrics import StageTimers
+
+        self.metrics = StageTimers()
         self._spk_feats: list = []      # raw audio retained for speaker branch
         self._init_pipeline()
         self.state = State.INITIALIZED
@@ -188,18 +191,22 @@ class Recognizer:
         S = self.chunk_samples
         if len(chunk) < S:
             chunk = np.concatenate([chunk, np.zeros(S - len(chunk), np.float32)])
-        self._feat_state, feats, fvalid = self.ex.extract_chunk(
-            self._feat_state, chunk[None, :], n_samples=np.array([n_valid], np.int32)
-        )
-        self._am_state, ll, lvalid = self.am.process_chunk(
-            self._am_state, feats, fvalid
-        )
+        self.metrics.add_audio(n_valid / self.sample_rate)
+        with self.metrics.timer("features"):
+            self._feat_state, feats, fvalid = self.ex.extract_chunk(
+                self._feat_state, chunk[None, :], n_samples=np.array([n_valid], np.int32)
+            )
+        with self.metrics.timer("acoustic_model"):
+            self._am_state, ll, lvalid = self.am.process_chunk(
+                self._am_state, feats, fvalid
+            )
         self._decode(ll, lvalid)
 
     def _decode(self, ll, lvalid) -> None:
-        self._frontier, recs, best, bestf = self.dec.decode_chunk(
-            self._frontier, ll, lvalid
-        )
+        with self.metrics.timer("decoder"):
+            self._frontier, recs, best, bestf = self.dec.decode_chunk(
+                self._frontier, ll, lvalid
+            )
         self._records.append(recs)
         self._utt_frames += int(np.asarray(lvalid)[0].sum())
         self._best_cost = float(np.asarray(best)[0])
@@ -382,12 +389,17 @@ class Recognizer:
             out.append((cost, items))
         return out
 
+    def get_metrics(self) -> dict:
+        """Per-stage timing report (observability; SURVEY §5 greenfield)."""
+        return self.metrics.report()
+
     def _get_result(self) -> str:
         """Reference GetResult dispatch (recognizer.cc:669-728)."""
         if self._utt_frames == 0:
             return self._store_empty()
         if self.max_alternatives_ == 0:
-            paths = self._lattice_paths(1, use_final=True)
+            with self.metrics.timer("finishing"):
+                paths = self._lattice_paths(1, use_final=True)
             if not paths:
                 return self._store_empty()
             words = self._word_results(paths[0][1])
