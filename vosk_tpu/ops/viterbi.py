@@ -272,14 +272,10 @@ class BatchViterbi:
         B = tok_state.shape[0]
 
         rows = self.em_pack[tok_state]  # [B, K, 4M] shared-operand gather
-        # materialize before the dependent acoustic gather: fusing
-        # gather(ll, f(gather(em_pack))) chains lowers catastrophically
-        rows = jax.lax.optimization_barrier(rows)
         w = rows[:, :, :M].reshape(B, E)
         ns = jax.lax.bitcast_convert_type(rows[:, :, M : 2 * M], jnp.int32).reshape(B, E)
         pdf = jax.lax.bitcast_convert_type(rows[:, :, 2 * M : 3 * M], jnp.int32).reshape(B, E)
         olab = jax.lax.bitcast_convert_type(rows[:, :, 3 * M :], jnp.int32).reshape(B, E)
-        pdf = jax.lax.optimization_barrier(pdf)
         ac = jnp.take_along_axis(ll, pdf, axis=1)
         e_ids = jnp.broadcast_to(jnp.arange(E, dtype=jnp.int32), (B, E))
         tok_of_e = e_ids // M
@@ -288,10 +284,6 @@ class BatchViterbi:
 
         nsm = jnp.where(mask, ns, S)
         cm = jnp.where(mask, cost, INF)
-        # materialize sort inputs: without the barrier XLA fuses the acoustic
-        # gather into the sort input, re-executing it across every bitonic
-        # pass (~22 of 31 ms/frame at B=256)
-        nsm, cm = jax.lax.optimization_barrier((nsm, cm))
         s_ns, s_cost, s_idx = jax.lax.sort((nsm, cm, e_ids), num_keys=2, dimension=1)
         first = jnp.concatenate(
             [jnp.ones((B, 1), bool), s_ns[:, 1:] != s_ns[:, :-1]], axis=1
