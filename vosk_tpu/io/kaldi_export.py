@@ -215,6 +215,15 @@ def export_kaldi_dir(model: NativeModel, out_dir) -> None:
         f"--use-energy={'true' if mfcc.get('use_energy', True) else 'false'}",
     ]
     (p / "conf" / "mfcc.conf").write_text("\n".join(conf) + "\n")
+    # word-boundary info: 1-state topology words are single-phone-chained;
+    # mark SIL nonword, others internal-begin/end-agnostic "singleton" rows
+    (p / "graph" / "phones").mkdir(exist_ok=True)
+    sil_set = {int(model.phone_of_pdf[pd]) for pd in model.silence_pdfs}
+    wb_lines = []
+    for ph in range(1, num_phones + 1):
+        wb_lines.append(f"{ph} {'nonword' if ph in sil_set else 'singleton'}")
+    (p / "graph" / "phones" / "word_boundary.int").write_text("\n".join(wb_lines) + "\n")
+
     sil_phones = ":".join(
         str(ph)
         for ph in sorted({int(model.phone_of_pdf[pd]) for pd in model.silence_pdfs})

@@ -196,7 +196,29 @@ def load_kaldi_model(path, max_out: int = 16) -> native.NativeModel:
 
         log_info(f"Reading CMVN stats from {cmvn_stats}")
         model.global_cmvn_stats = read_kaldi_matrix(cmvn_stats)
+
+    # word-boundary info (reference model.cc:302-306): phone -> position
+    # (wbegin/wend/internal/singleton/nonword), used for word alignment
+    winfo = (
+        p / "graph" / "phones" / "word_boundary.int"
+        if v2
+        else p / "word_boundary.int"
+    )
+    if winfo.exists():
+        log_info(f"Loading winfo {winfo}")
+        model.word_boundary = read_word_boundary(winfo)
     return model
+
+
+def read_word_boundary(path) -> dict:
+    """Parse word_boundary.int: 'phone-id type' per line, types in
+    {wbegin, wend, internal, singleton, nonword, begin_and_end...}."""
+    out = {}
+    for line in Path(path).read_text().splitlines():
+        parts = line.split()
+        if len(parts) >= 2:
+            out[int(parts[0])] = parts[1]
+    return out
 
 
 def _frame_opts(raw: dict) -> dict:

@@ -93,6 +93,8 @@ class NativeModel:
         self.g_fst = None       # word-level LM in the graph (for rescoring subtract)
         self.rescore_lm = None  # big ARPA LM (for rescoring add)
         self.rnnlm = None       # neural LM (mixed 0.5/0.5 with the ARPA)
+        self.word_boundary = None  # phone -> position map (word alignment)
+        self.global_cmvn_stats = None
         self.graph = graph
         self.words = words
         self.phones = phones
