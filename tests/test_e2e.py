@@ -256,3 +256,18 @@ def test_batch_recognizer(model):
     for i, r in enumerate(recs):
         res = json.loads(r.Result())
         assert res["text"] == " ".join(texts[i]), (i, res)
+
+
+def test_resampled_input(model):
+    """8 kHz input resampled to the model's 16 kHz (reference
+    allow_downsample / LinearResample behavior)."""
+    wav16 = toydata.make_test_wav(["one", "six"], seed=34)
+    wav8 = wav16[::2]  # crude decimation; tones stay under 4 kHz... use interp
+    import numpy as _np
+
+    x = _np.arange(len(wav16) // 2) * 2.0
+    wav8 = _np.interp(x, _np.arange(len(wav16)), wav16).astype(_np.float32)
+    rec = vosk_tpu.KaldiRecognizer(model, 8000)
+    rec.AcceptWaveform(_np.clip(wav8, -32768, 32767).astype("<i2").tobytes())
+    res = json.loads(rec.FinalResult())
+    assert res["text"] == "one six"

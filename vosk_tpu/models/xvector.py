@@ -233,7 +233,7 @@ def extract_xvector_for_recognizer(rec) -> Tuple[Optional[list], Optional[int]]:
     wav = np.concatenate(rec._spk_feats)
     ex = FeatureExtractor(
         MfccOptions(
-            frame_opts=FrameOptions(dither=0.0, samp_freq=rec.sample_rate),
+            frame_opts=FrameOptions(dither=0.0, samp_freq=rec.model_rate),
             mel_opts=MelOptions(num_bins=rec.spk_model.cfg.feat_dim + 3),
             num_ceps=rec.spk_model.cfg.feat_dim,
             use_energy=False,

@@ -52,6 +52,10 @@ class Recognizer:
     ):
         self.model = model
         self.sample_rate = float(sample_rate)
+        # input at a different rate is resampled to the model's rate
+        # (reference: allow_downsample in the feature pipeline, model.cc:221,
+        # and LinearResample on the batch path, batch_recognizer.cc:27-29)
+        self.model_rate = float(model.config.sample_rate)
         self.spk_model = spk_model
 
         self.graph = model.graph
@@ -77,7 +81,7 @@ class Recognizer:
         self.rules = model.endpoint_rules()
 
         # fixed device chunk: 0.2 s of samples (recognizer.cc:305)
-        self.chunk_samples = int(0.2 * self.sample_rate)
+        self.chunk_samples = int(0.2 * self.model_rate)
         self.max_feat_frames = self.ex.stream_max_frames(self.chunk_samples)
 
         # result options
@@ -173,6 +177,11 @@ class Recognizer:
             self._clean_up()
         self.state = State.RUNNING
 
+        if abs(self.sample_rate - self.model_rate) > 1e-6:
+            from .batch import _resample_linear
+
+            wave = _resample_linear(wave, self.sample_rate, self.model_rate)
+
         if self.spk_model is not None:
             self._spk_feats.append(wave.copy())
 
@@ -191,7 +200,7 @@ class Recognizer:
         S = self.chunk_samples
         if len(chunk) < S:
             chunk = np.concatenate([chunk, np.zeros(S - len(chunk), np.float32)])
-        self.metrics.add_audio(n_valid / self.sample_rate)
+        self.metrics.add_audio(n_valid / self.model_rate)
         with self.metrics.timer("features"):
             self._feat_state, feats, fvalid = self.ex.extract_chunk(
                 self._feat_state, chunk[None, :], n_samples=np.array([n_valid], np.int32)
@@ -270,7 +279,7 @@ class Recognizer:
         samples_round_start_/rate + (frame_offset_ + frame) * 0.03
         (recognizer.cc:457-458)."""
         out = []
-        base = self.samples_round_start_ / self.sample_rate
+        base = self.samples_round_start_ / self.model_rate
         for i, (wid, f_start, f_end, conf) in enumerate(olabels_with_frames):
             out.append(
                 jsonout.WordResult(
