@@ -106,6 +106,22 @@ def test_sequential_utterances_time_offsets(model):
     assert t2 >= t1 - 0.2  # second utterance continues on the time axis
 
 
+def test_final_words_survive_prior_endpoint_result(model):
+    """Regression: after an endpoint Result(), the next utterance must still
+    decode audio that ends exactly at a word.  Previously the AM right-context
+    flush ran on the endpoint path and was never re-armed, dropping the last
+    output frames of every later utterance (reference only flushes in
+    FinalResult, recognizer.cc:824-827)."""
+    rec = vosk_tpu.KaldiRecognizer(model, 16000)
+    rec.AcceptWaveform(wav_bytes(["one"], seed=51))
+    r1 = json.loads(rec.Result())  # endpoint-style mid-stream result
+    assert r1["text"] == "one"
+    # second utterance ends at a word boundary: no trailing silence
+    rec.AcceptWaveform(wav_bytes(["six", "five"], seed=52, sil=True)[: -1600])
+    r2 = json.loads(rec.FinalResult())
+    assert r2["text"] == "six five"
+
+
 def test_max_alternatives(model):
     rec = vosk_tpu.KaldiRecognizer(model, 16000)
     rec.SetMaxAlternatives(3)

@@ -221,13 +221,16 @@ class Recognizer:
         self._best_cost = float(np.asarray(best)[0])
         self._best_final_cost = float(np.asarray(bestf)[0])
 
-    def _flush_pending(self) -> None:
-        """Feed remaining buffered samples + flush AM right context
-        (reference: InputFinished + AdvanceDecoding, recognizer.cc:824-827)."""
+    def _flush_pending(self, input_finished: bool) -> None:
+        """Feed remaining buffered samples; on `input_finished` additionally
+        flush the AM right context (reference: InputFinished + AdvanceDecoding
+        only in FinalResult, recognizer.cc:824-827 — the endpoint Result() at
+        recognizer.cc:808 does NOT flush, so the feature/AM stream stays live
+        for the next utterance)."""
         if len(self._pending) > 0:
             self._process_chunk(self._pending, len(self._pending))
             self._pending = np.zeros(0, np.float32)
-        if not self._flushed:
+        if input_finished and not self._flushed:
             self._am_state, ll, lvalid = self.am.flush(self._am_state)
             self._decode(ll, lvalid)
             self._flushed = True
@@ -446,7 +449,7 @@ class Recognizer:
         """Finalize current utterance after an endpoint (vosk_api.h:234-250)."""
         if self.state != State.RUNNING:
             return self._store_empty()
-        self._flush_pending()
+        self._flush_pending(input_finished=False)
         self.state = State.ENDPOINT
         self.last_result_ = self._get_result()
         return self.last_result_
@@ -470,7 +473,7 @@ class Recognizer:
     def final_result(self) -> str:
         if self.state != State.RUNNING:
             return self._store_empty()
-        self._flush_pending()
+        self._flush_pending(input_finished=True)
         self.state = State.FINALIZED
         self.last_result_ = self._get_result()
         return self.last_result_
