@@ -80,6 +80,7 @@ class BatchViterbi:
         self.Ee = eps_expand_budget or max(
             128, min(K * max(graph.max_eps_out, 1), 1 << 18)
         )
+        self.Me = 0  # padded eps tables; set by _build_padded_tables
         self.has_eps = graph.num_eps_arcs > 0
         # no eps arcs -> no closure rounds, regardless of claimed depth
         self.eps_iters = graph.eps_depth if self.has_eps else 0
@@ -108,7 +109,33 @@ class BatchViterbi:
         # host once (tiny).  Initial tokens carry an olabel prefix for traceback.
         self._init_states, self._init_costs, self._init_prefixes = self._initial_closure()
 
-        self._decode_jit = jax.jit(self._decode_chunk_impl)
+        # Graph tables are passed through jit as ARGUMENTS (self.tables), not
+        # captured by closure: closed-over arrays are embedded in the lowered
+        # program as literals, which at real-graph scale (a 2M-state pack is
+        # ~256 MB) breaks compilation and forces retraces per graph.
+        table_keys = [
+            "em_off", "em_pdf", "em_olabel", "em_w", "em_next",
+            "eps_off", "eps_olabel", "eps_w", "eps_next", "final_cost",
+        ]
+        if self.layout == "padded":
+            table_keys.append("em_pack")
+            if self.Me:
+                table_keys.append("eps_pack")
+        self._table_keys = table_keys
+        self.tables = {k: getattr(self, k) for k in table_keys}
+        self._decode_jit = jax.jit(self._decode_entry)
+
+    def _decode_entry(self, tables, frontier, loglikes, valid):
+        """Jit entry point: rebinds the graph tables to the traced arguments
+        for the duration of tracing (restored afterwards)."""
+        saved = {k: getattr(self, k) for k in tables}
+        try:
+            for k, v in tables.items():
+                setattr(self, k, v)
+            return self._decode_chunk_impl(frontier, loglikes, valid)
+        finally:
+            for k, v in saved.items():
+                setattr(self, k, v)
 
     # ------------------------------------------------------------------ init
 
@@ -140,6 +167,31 @@ class BatchViterbi:
         # host-side dense views for lattice building (arc id = state*M + m)
         self.dense_w, self.dense_next = w, nxt
         self.dense_pdf, self.dense_olabel = pdf, ola
+
+        # padded epsilon tables (batched eps closure without vmap); the CSR
+        # arc index rides along so lattice records keep CSR eps-arc ids.
+        self.Me = 0
+        if self.has_eps and g.max_eps_out <= 2 * max(self.M, 4):
+            Me = max(int(g.max_eps_out), 1)
+            An = len(g.eps_next)
+            ew = np.full((S + 1, Me), np.inf, np.float32)
+            enxt = np.full((S + 1, Me), S, np.int32)
+            eola = np.zeros((S + 1, Me), np.int32)
+            eidx = np.full((S + 1, Me), -1, np.int32)
+            cnt = (g.eps_off[1:] - g.eps_off[:-1]).astype(np.int64)
+            st = np.repeat(np.arange(S), cnt)
+            pos = np.arange(An) - g.eps_off[:-1].astype(np.int64)[st]
+            ew[st, pos] = g.eps_w
+            enxt[st, pos] = g.eps_next
+            eola[st, pos] = g.eps_olabel
+            eidx[st, pos] = np.arange(An, dtype=np.int32)
+            self.Me = Me
+            self.eps_pack = jnp.asarray(
+                np.concatenate(
+                    [ew, enxt.view(np.float32), eola.view(np.float32),
+                     eidx.view(np.float32)], axis=1,
+                )
+            )
 
     def _initial_closure(self):
         import heapq
@@ -255,18 +307,107 @@ class BatchViterbi:
         sel = s_idx[sel2]
         return sel, new_state, new_cost, keep
 
+    # ---------------------------------------------------- packed sort helpers
+    #
+    # The frame step's irregular work is done entirely by single-key sorts
+    # that CARRY their payloads: on this TPU backend a multi-operand
+    # `lax.sort` moves ~1.4 ps/byte/pass while every `take_along_axis` /
+    # `top_k`-then-gather costs ~10-17 ns per element (XLA lowers batched
+    # dynamic gathers element-at-a-time).  Measured on v5e, see
+    # tools/mb_primitives.py + tools/mb_framestep.py; replacing
+    # top_k + 5 selects with payload sorts cut the honest-operating-point
+    # frame step (max_active=7000, 2M states) by ~2x.
+
+    @staticmethod
+    def _cost_bits(cost):
+        """Order-preserving int32 encoding of an f32 cost (monotone: a < b
+        <=> bits(a) < bits(b)); +inf maps above all finite costs."""
+        cb = jax.lax.bitcast_convert_type(cost, jnp.int32)
+        return jnp.where(cb < 0, jnp.int32(-2147483648) - cb, cb)
+
+    @staticmethod
+    def _bits_cost(bits):
+        raw = jnp.where(bits < 0, jnp.int32(-2147483648) - bits, bits)
+        return jax.lax.bitcast_convert_type(raw, jnp.float32)
+
+    def _packed_level(self, nsm, cm, payloads, lat_payloads=None):
+        """Dedup by next state + top-K/beam selection, payload-carrying.
+
+        nsm/cm: [B, N] candidate next-states (masked to sentinel S) and
+        costs (masked to +inf).  payloads: dict of int32 [B, N] arrays to
+        carry through to the K survivors.  lat_payloads: (prev, arc) for
+        lattice record emission (enables the third, cost-ordered sort).
+
+        Returns (new_state, new_cost, keep, sel_payloads, lattice_rec).
+        Selection semantics match Kaldi's: per-state min (dedup), then the
+        best max_active states by cost, then beam pruning about the best.
+        """
+        B, N = nsm.shape
+        K, S = self.K, self.S
+        beam = self.params.beam
+
+        names = sorted(payloads)
+        cbits = self._cost_bits(cm)
+        sorted1 = jax.lax.sort(
+            (nsm, cbits) + tuple(payloads[n] for n in names),
+            num_keys=2,
+            dimension=1,
+        )
+        s_state, s_cbits, s_pay = sorted1[0], sorted1[1], sorted1[2:]
+        first = jnp.concatenate(
+            [jnp.ones((B, 1), bool), s_state[:, 1:] != s_state[:, :-1]], axis=1
+        )
+        alive = first & (s_state != S)
+        key2 = jnp.where(alive, s_cbits, BIG_I32)
+        sorted2 = jax.lax.sort(
+            (key2, s_state) + tuple(s_pay), num_keys=1, dimension=1
+        )
+        kbits = sorted2[0][:, :K]
+        new_state = sorted2[1][:, :K]
+        sel_pay = {n: p[:, :K] for n, p in zip(names, sorted2[2:])}
+        new_cost = self._bits_cost(kbits)
+        keep = (kbits < BIG_I32) & (kbits <= self._cost_bits(new_cost[:, :1] + beam))
+        new_state = jnp.where(keep, new_state, S)
+        new_cost = jnp.where(keep, new_cost, INF)
+
+        lattice_rec = None
+        if lat_payloads is not None:
+            R = self.R
+            lprev, larc = lat_payloads
+            key3 = self._cost_bits(cm)
+            sorted3 = jax.lax.sort(
+                (key3, nsm, lprev, larc), num_keys=1, dimension=1
+            )
+
+            def takeR(x, fill):
+                if N >= R:
+                    return x[:, :R]
+                return jnp.concatenate(
+                    [x, jnp.full((B, R - N), fill, x.dtype)], axis=1
+                )
+
+            lcost = self._bits_cost(takeR(sorted3[0], BIG_I32))
+            best = new_cost[:, :1]  # sort2 slot 0 is the post-dedup best
+            lkeep = lcost <= best + self.params.lattice_beam
+            lattice_rec = {
+                "lat_ns": jnp.where(lkeep, takeR(sorted3[1], S), S),
+                "lat_prev": jnp.where(lkeep, takeR(sorted3[2], -1), -1),
+                "lat_arc": jnp.where(lkeep, takeR(sorted3[3], -1), -1),
+                "lat_cost": jnp.where(lkeep, lcost, INF),
+            }
+        return new_state, new_cost, keep, sel_pay, lattice_rec
+
     # ------------------------------------------------------------- one frame
 
     def _frame_step_batched(self, frontier, ll, valid):
         """Whole-batch frame step for the padded layout — no vmap anywhere,
-        every op natively batched ([B, E] sorts/top_k/gathers).  vmap
-        batching rules for gather/sort produced pathological TPU lowerings;
-        this path is the production hot loop.
+        every op natively batched.  All selection/dedup runs through
+        payload-carrying sorts (_packed_level); the only dynamic gathers are
+        the per-state arc-row fetch and the acoustic lookup.
 
         ll: [B, P] acoustic rows; valid: [B] bool.
         """
         K, M, E, S = self.K, self.M, self.E, self.S
-        beam = self.params.beam
         scale = self.params.acoustic_scale
         tok_state, tok_cost = frontier["state"], frontier["cost"]  # [B, K]
         B = tok_state.shape[0]
@@ -278,60 +419,41 @@ class BatchViterbi:
         olab = jax.lax.bitcast_convert_type(rows[:, :, 3 * M :], jnp.int32).reshape(B, E)
         ac = jnp.take_along_axis(ll, pdf, axis=1)
         e_ids = jnp.broadcast_to(jnp.arange(E, dtype=jnp.int32), (B, E))
-        tok_of_e = e_ids // M
         cost = jnp.repeat(tok_cost, M, axis=1) + w - scale * ac
         mask = jnp.isfinite(w)
 
         nsm = jnp.where(mask, ns, S)
         cm = jnp.where(mask, cost, INF)
-        s_ns, s_cost, s_idx = jax.lax.sort((nsm, cm, e_ids), num_keys=2, dimension=1)
-        first = jnp.concatenate(
-            [jnp.ones((B, 1), bool), s_ns[:, 1:] != s_ns[:, :-1]], axis=1
+        # dense arc ids (state*M + m) computed before sorting so no gather is
+        # needed to reconstruct them afterwards
+        arc_id = jnp.repeat(tok_state, M, axis=1) * M + (e_ids % M)
+        payloads = {"e": e_ids, "olab": olab, "pdf": pdf, "arc": arc_id}
+        lat = (e_ids // M, arc_id) if self.lattice_records else None
+        new_state, new_cost, keep, sel, lattice_rec = self._packed_level(
+            nsm, cm, payloads, lat
         )
-        winner = first & (s_ns != S) & jnp.isfinite(s_cost)
-        wcost = jnp.where(winner, s_cost, INF)
-        neg, sel2 = jax.lax.top_k(-wcost, K)
-        new_cost = -neg
-        best = new_cost[:, :1]
-        keep = new_cost <= best + beam
-        new_state = jnp.where(keep, jnp.take_along_axis(s_ns, sel2, axis=1), S)
-        new_cost = jnp.where(keep, new_cost, INF)
-        sel = jnp.take_along_axis(s_idx, sel2, axis=1)  # [B, K] candidate ids
-
-        tok = sel // M
-        sel_pdf = jnp.take_along_axis(pdf, sel, axis=1)
         rec = {
-            "prev": jnp.where(keep, tok, -1),
-            "olabel": jnp.where(keep, jnp.take_along_axis(olab, sel, axis=1), 0),
-            "pdf": jnp.where(keep, sel_pdf, -1),
+            "prev": jnp.where(keep, sel["e"] // M, -1),
+            "olabel": jnp.where(keep, sel["olab"], 0),
+            "pdf": jnp.where(keep, sel["pdf"], -1),
         }
         if self.lattice_records:
-            arc = jnp.take_along_axis(tok_state, tok, axis=1) * M + sel % M
-            R = self.R
-            lneg, lsel = jax.lax.top_k(-cm, R)
-            lcost = -lneg
-            lkeep = lcost <= best + self.params.lattice_beam
-            l_tok = lsel // M
-            l_arc = jnp.take_along_axis(tok_state, l_tok, axis=1) * M + lsel % M
-            rec.update(
-                {
-                    "f_state": new_state,
-                    "f_cost": new_cost,
-                    "lat_ns": jnp.where(lkeep, jnp.take_along_axis(nsm, lsel, axis=1), S),
-                    "lat_prev": jnp.where(lkeep, l_tok, -1),
-                    "lat_arc": jnp.where(lkeep, l_arc, -1),
-                    "lat_cost": jnp.where(lkeep, lcost, INF),
-                }
-            )
+            rec.update(lattice_rec)
+            rec["f_state"] = new_state
+            rec["f_cost"] = new_cost
 
-        # eps closure rounds (rare after load-time eps removal): reuse the
-        # per-channel path under vmap
+        # eps closure rounds
         cur_state, cur_cost = new_state, new_cost
         rec_levels = [rec]
         for _ in range(self.eps_iters):
-            (cur_state, cur_cost), lvl_rec = jax.vmap(self._eps_level)(
-                cur_state, cur_cost
-            )
+            if self.Me:
+                (cur_state, cur_cost), lvl_rec = self._eps_level_batched(
+                    cur_state, cur_cost
+                )
+            else:
+                (cur_state, cur_cost), lvl_rec = jax.vmap(self._eps_level)(
+                    cur_state, cur_cost
+                )
             rec_levels.append(lvl_rec)
 
         vb = valid[:, None]
@@ -381,6 +503,42 @@ class BatchViterbi:
             for k in rec_levels[0]
         }
         return new_frontier, records
+
+    def _eps_level_batched(self, cur_state, cur_cost):
+        """One whole-batch epsilon-closure round over the padded eps tables
+        (payload-sort selection, no vmap).  Frontier tokens are carried as
+        zero-cost candidates so states without eps arcs survive the round."""
+        K, Me, S = self.K, self.Me, self.S
+        B = cur_state.shape[0]
+        Ke = K * Me
+        rows = self.eps_pack[cur_state]  # [B, K, 4Me]
+        w = rows[:, :, :Me].reshape(B, Ke)
+        ens = jax.lax.bitcast_convert_type(rows[:, :, Me : 2 * Me], jnp.int32).reshape(B, Ke)
+        eol = jax.lax.bitcast_convert_type(rows[:, :, 2 * Me : 3 * Me], jnp.int32).reshape(B, Ke)
+        earc = jax.lax.bitcast_convert_type(rows[:, :, 3 * Me :], jnp.int32).reshape(B, Ke)
+        slot = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (B, K))
+        ecost = jnp.repeat(cur_cost, Me, axis=1) + w
+        emask = jnp.isfinite(w)
+
+        all_ns = jnp.concatenate([cur_state, jnp.where(emask, ens, S)], axis=1)
+        all_cost = jnp.concatenate([cur_cost, jnp.where(emask, ecost, INF)], axis=1)
+        prev = jnp.concatenate([slot, jnp.repeat(slot, Me, axis=1)], axis=1)
+        olab = jnp.concatenate([jnp.zeros((B, K), jnp.int32), eol], axis=1)
+        arc = jnp.concatenate([jnp.full((B, K), -1, jnp.int32), earc], axis=1)
+        payloads = {"prev": prev, "olab": olab}
+        lat = (prev, arc) if self.lattice_records else None
+        st2, c2, keep2, sel, lattice_rec = self._packed_level(
+            all_ns, all_cost, payloads, lat
+        )
+        lvl_rec = {
+            "prev": jnp.where(keep2, sel["prev"], -1),
+            "olabel": jnp.where(keep2, sel["olab"], 0),
+            "pdf": jnp.full((B, K), -1, jnp.int32),
+        }
+        if self.lattice_records:
+            lvl_rec.update(lattice_rec)
+            lvl_rec["f_state"], lvl_rec["f_cost"] = st2, c2
+        return (st2, c2), lvl_rec
 
     def _eps_level(self, cur_state, cur_cost):
         """One per-channel epsilon-closure round (vmapped)."""
@@ -551,7 +709,7 @@ class BatchViterbi:
     def decode_chunk(self, frontier, loglikes, valid=None):
         if valid is None:
             valid = jnp.ones(loglikes.shape[:2], bool)
-        return self._decode_jit(frontier, loglikes, valid)
+        return self._decode_jit(self.tables, frontier, loglikes, valid)
 
     # ------------------------------------------------------------ host side
 

@@ -13,7 +13,6 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 _LIB: Optional[C.CDLL] = None
-_TRIED = False
 
 
 class VtWord(C.Structure):
@@ -62,10 +61,12 @@ class VtRecords(C.Structure):
 
 
 def _load() -> Optional[C.CDLL]:
-    global _LIB, _TRIED
-    if _TRIED:
+    """Load the native library. Only a successful load is cached: the
+    library may be built after first import (tests build it on demand), so
+    a missing file is re-probed on the next call."""
+    global _LIB
+    if _LIB is not None:
         return _LIB
-    _TRIED = True
     if os.environ.get("VOSK_TPU_NO_NATIVE"):
         return None
     root = Path(__file__).resolve().parents[2]

@@ -29,6 +29,8 @@ class FusedPipeline:
         mesh=None,
         collect_records: bool = True,
         expand_budget: Optional[int] = None,
+        lattice_records: bool = False,
+        lattice_budget: Optional[int] = None,
     ):
         self.model = model
         self.B = batch
@@ -43,6 +45,8 @@ class FusedPipeline:
                 acoustic_scale=model.config.acoustic_scale,
             ),
             expand_budget=expand_budget,
+            lattice_records=lattice_records,
+            lattice_budget=lattice_budget,
         )
         self.rate = model.config.sample_rate
         self.chunk_samples = int(chunk_seconds * self.rate)
@@ -70,15 +74,19 @@ class FusedPipeline:
             st = {k: pm.shard_channel_state(self.mesh, v) for k, v in st.items()}
         return st
 
-    def _step_impl(self, params, state, audio, n_samples):
+    def _step_impl(self, params, tables, state, audio, n_samples, ll_bias=None):
         feat_state, feats, fvalid = self.ex._extract_chunk_impl(
             state["feat"], audio, None, n_samples
         )
         am_state, ll, lvalid = self.am._process_chunk_impl(
             params, state["am"], feats, fvalid, None
         )
-        frontier, recs, best, bestf = self.dec._decode_chunk_impl(
-            state["frontier"], ll, lvalid
+        if ll_bias is not None:
+            # benchmark hook: structured acoustic scores added to the AM
+            # output so the decoder sees plausible-path dynamics
+            ll = ll * 1e-3 + ll_bias
+        frontier, recs, best, bestf = self.dec._decode_entry(
+            tables, state["frontier"], ll, lvalid
         )
         new_state = {"feat": feat_state, "am": am_state, "frontier": frontier}
         if not self.collect_records:
@@ -90,26 +98,39 @@ class FusedPipeline:
         best_final, frames_decoded[B])."""
         if n_samples is None:
             n_samples = jnp.full((self.B,), audio.shape[1], jnp.int32)
-        return self._step(self.params, state, audio, n_samples)
+        return self._step(self.params, self.dec.tables, state, audio, n_samples)
 
-    def run_scan(self, state, audio, n_samples=None):
+    def run_scan(self, state, audio, n_samples=None, ll_bias=None):
         """Advance many chunks in ONE device program via lax.scan.
 
         audio: [T, B, chunk_samples] pre-staged chunks.  Minimizes host
         round-trips — the shape for offline batch jobs and benchmarking.
+        ll_bias: optional [T, B, F, P] acoustic bias (see _step_impl).
         Returns (state, stacked records|None, best [T, B]).
         """
-        if not hasattr(self, "_scan_jit"):
-            def scan_fn(params, state, audio, n_samples):
+        key = ll_bias is not None
+        if getattr(self, "_scan_key", None) != key:
+            def scan_fn(params, tables, state, audio, n_samples, ll_bias):
                 def body(st, xs):
-                    a, n = xs
-                    st2, recs, best, bestf, nf = self._step_impl(params, st, a, n)
+                    if ll_bias is None:
+                        a, n = xs
+                        lb = None
+                    else:
+                        a, n, lb = xs
+                    st2, recs, best, bestf, nf = self._step_impl(
+                        params, tables, st, a, n, lb
+                    )
                     return st2, (recs, best)
 
-                return jax.lax.scan(body, state, (audio, n_samples))
+                xs = (audio, n_samples) if ll_bias is None else (
+                    audio, n_samples, ll_bias)
+                return jax.lax.scan(body, state, xs)
 
-            self._scan_jit = jax.jit(scan_fn)
+            self._scan_jit = jax.jit(scan_fn, static_argnames=())
+            self._scan_key = key
         if n_samples is None:
             n_samples = jnp.full(audio.shape[:2], audio.shape[2], jnp.int32)
-        state, (recs, best) = self._scan_jit(self.params, state, audio, n_samples)
+        state, (recs, best) = self._scan_jit(
+            self.params, self.dec.tables, state, audio, n_samples, ll_bias
+        )
         return state, recs, best
