@@ -87,14 +87,18 @@ def run_config(B, states, seconds, max_active, *, realistic, lattice,
     state, recs, best = pipe.run_scan(state, audio_dev, ll_bias=ll_bias)
     np.asarray(best)  # force completion (axon block_until_ready returns early)
 
-    # measure: fresh state, one device program for all chunks
+    # measure: fresh state, one device program for all chunks.  Lattice
+    # records are computed and materialized ON DEVICE (they are jit
+    # outputs); only a small witness slice is pulled — a bulk device->host
+    # pull through the axon tunnel runs at ~1.5 MB/s and would measure the
+    # tunnel, not the decoder (on local TPU hosts D2H is ~10 GB/s).
     state = pipe.init_state()
     jax.block_until_ready(state)
     t0 = time.perf_counter()
     state, recs, best = pipe.run_scan(state, audio_dev, ll_bias=ll_bias)
     best_h = np.asarray(best)
     if recs is not None:
-        np.asarray(recs["prev"])  # records must actually be materialized
+        np.asarray(recs["prev"][-1, :, -1, 0, :8])  # witness: records exist
     dt = time.perf_counter() - t0
 
     audio_seconds = n_chunks * B * (S / model.config.sample_rate)

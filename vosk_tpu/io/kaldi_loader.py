@@ -90,10 +90,18 @@ def load_kaldi_model(path, max_out: int = 16) -> native.NativeModel:
         subsample=opts.frame_subsampling_factor,
         priors=am_simple.priors,
     )
-    if nnet_am.has_ivector:
-        raise NotImplementedError(
-            "this Kaldi model requires an online i-vector extractor, which is "
-            "not wired into the runtime yet (ivector/ directory support TODO)"
+    # ---- online i-vector extractor (reference model.cc:247-263)
+    ivector_dir = p / "ivector"
+    ivector_cfg = None
+    if (ivector_dir / "final.ie").exists():
+        from .kaldi_ivector import read_ivector_dir
+
+        log_info(f"Loading i-vector extractor from {ivector_dir / 'final.ie'}")
+        ivector_cfg = read_ivector_dir(ivector_dir)
+    if nnet_am.has_ivector and ivector_cfg is None:
+        raise FileNotFoundError(
+            f"model expects an i-vector input but {ivector_dir}/final.ie "
+            "is missing"
         )
 
     # ---- feature config
@@ -191,6 +199,16 @@ def load_kaldi_model(path, max_out: int = 16) -> native.NativeModel:
         topology=native.Topology(),
         am_override=nnet_am,
     )
+    model.ivector = ivector_cfg
+    if model_conf is not None and model_conf.exists():
+        raw = read_config_file(model_conf)
+        model.silence_weight = float(
+            raw.get("ivector-silence-weighting.silence-weight", 1.0)
+        )
+        swp = raw.get("ivector-silence-weighting.silence-phones", "")
+        model.silence_weight_phones = {
+            int(x) for x in str(swp).split(":") if x.strip()
+        }
     if cmvn_stats.exists():
         from .kaldiio import read_kaldi_matrix
 

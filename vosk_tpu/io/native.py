@@ -95,6 +95,9 @@ class NativeModel:
         self.rnnlm = None       # neural LM (mixed 0.5/0.5 with the ARPA)
         self.word_boundary = None  # phone -> position map (word alignment)
         self.global_cmvn_stats = None
+        self.ivector = None     # IvectorDirConfig (reference model.cc:247-263)
+        self.silence_weight = 1.0   # ivector silence weighting (1.0 = off)
+        self.silence_weight_phones: set = set()
         self.graph = graph
         self.words = words
         self.phones = phones
@@ -111,6 +114,15 @@ class NativeModel:
         from ..models.tdnnf import TdnnfModel
 
         return TdnnfModel(self.am_config, self.am_params)
+
+    def make_ivector_extractor(self, chunk_frames: int = 32):
+        """Online i-vector extractor when the model ships an ivector/ dir
+        (reference model.cc:247-263); None otherwise."""
+        if self.ivector is None:
+            return None
+        from ..ops.ivector import OnlineIvectorExtractor
+
+        return OnlineIvectorExtractor(self.ivector, chunk_frames=chunk_frames)
 
     def feature_extractor(self) -> F.FeatureExtractor:
         fo = F.FrameOptions(samp_freq=self.config.sample_rate, **self.config.frame_opts)

@@ -119,12 +119,12 @@ class StreamingAm:
 
     # -------------------------------------------------------------- flush
 
-    def flush(self, state):
+    def flush(self, state, ivector=None):
         if not hasattr(self, "_flush_jit_fn"):
             self._flush_jit_fn = jax.jit(self._flush_impl)
-        return self._flush_jit_fn(self.params, state)
+        return self._flush_jit_fn(self.params, state, ivector)
 
-    def _flush_impl(self, params, state):
+    def _flush_impl(self, params, state, ivector=None):
         ss, R = self.subsample, self.right_context
         hist, hist_len = state["hist"], state["hist_len"]
         B, H, D = hist.shape
@@ -137,4 +137,4 @@ class StreamingAm:
         )
         pad_feats = jnp.broadcast_to(last, (B, P, D))
         pad_valid = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1) < need[:, None]
-        return self._process_chunk_impl(params, state, pad_feats, pad_valid, None)
+        return self._process_chunk_impl(params, state, pad_feats, pad_valid, ivector)

@@ -84,6 +84,21 @@ class Recognizer:
         self.chunk_samples = int(0.2 * self.model_rate)
         self.max_feat_frames = self.ex.stream_max_frames(self.chunk_samples)
 
+        # online i-vector extractor + decoded-silence weighting
+        # (reference model.cc:247-263, recognizer.cc:226-237)
+        self.iv = model.make_ivector_extractor(chunk_frames=self.max_feat_frames)
+        self._silence_weight = float(getattr(model, "silence_weight", 1.0))
+        swp = getattr(model, "silence_weight_phones", set())
+        self._silence_weight_pdfs = (
+            {
+                int(pdf)
+                for pdf in range(len(model.phone_of_pdf))
+                if int(model.phone_of_pdf[pdf]) in swp
+            }
+            if swp
+            else {int(x) for x in np.asarray(model.silence_pdfs)}
+        )
+
         # result options
         self.words_ = False
         self.partial_words_ = False
@@ -128,6 +143,8 @@ class Recognizer:
     def _init_pipeline(self) -> None:
         self._feat_state = self.ex.init_stream_state(1, self.chunk_samples)
         self._am_state = self.am.init_stream_state(1, self.max_feat_frames)
+        self._iv_state = self.iv.init_state(1) if self.iv is not None else None
+        self._iv_frames_weighted = 0    # silence weighting high-water mark
         self._frontier = self.dec.init_frontier(1)
         self._records: list = []
         self._utt_frames = 0            # output frames decoded this utterance
@@ -205,9 +222,14 @@ class Recognizer:
             self._feat_state, feats, fvalid = self.ex.extract_chunk(
                 self._feat_state, chunk[None, :], n_samples=np.array([n_valid], np.int32)
             )
+        ivec = None
+        if self.iv is not None:
+            with self.metrics.timer("ivector"):
+                self._iv_state = self.iv.update(self._iv_state, feats, fvalid)
+                ivec = self.iv.current(self._iv_state)
         with self.metrics.timer("acoustic_model"):
             self._am_state, ll, lvalid = self.am.process_chunk(
-                self._am_state, feats, fvalid
+                self._am_state, feats, fvalid, ivec
             )
         self._decode(ll, lvalid)
 
@@ -231,7 +253,11 @@ class Recognizer:
             self._process_chunk(self._pending, len(self._pending))
             self._pending = np.zeros(0, np.float32)
         if input_finished and not self._flushed:
-            self._am_state, ll, lvalid = self.am.flush(self._am_state)
+            ivec = None
+            if self.iv is not None:
+                self._iv_state = self.iv.flush(self._iv_state)
+                ivec = self.iv.current(self._iv_state)
+            self._am_state, ll, lvalid = self.am.flush(self._am_state, ivec)
             self._decode(ll, lvalid)
             self._flushed = True
 
@@ -243,6 +269,7 @@ class Recognizer:
         _, _, pdfs = self.dec.traceback(
             self._records, self._frontier, 0, use_final=False
         )
+        self._update_silence_weights(pdfs)
         trailing, has_speech = ep.trailing_silence(pdfs, self.model.silence_pdfs)
         rel = self._best_final_cost - self._best_cost
         return ep.endpoint_detected(
@@ -253,6 +280,37 @@ class Recognizer:
             self.frame_shift,
             has_speech,
         )
+
+    def _update_silence_weights(self, pdfs) -> None:
+        """Downweight i-vector stats on frames the decoder aligned to
+        silence (reference UpdateSilenceWeights, recognizer.cc:226-237).
+        pdfs: per-decode-frame best-path alignment of this utterance."""
+        if (
+            self.iv is None
+            or self._silence_weight == 1.0
+            or not pdfs
+        ):
+            return
+        ss = self.am.subsample
+        n_feat = int(np.asarray(self._iv_state["centers_done"])[0])
+        sil = self._silence_weight_pdfs
+        ids, ws = [], []
+        for f in range(self._iv_frames_weighted, n_feat):
+            d = f // ss - self.frame_offset_
+            if 0 <= d < len(pdfs) and pdfs[d] in sil:
+                ids.append(f)
+                ws.append(self._silence_weight)
+        self._iv_frames_weighted = n_feat
+        if ids:
+            # fixed-width call so the jitted reweight doesn't retrace
+            N = self.iv.ring
+            ids = (ids + [-1] * N)[:N]
+            ws = (ws + [1.0] * N)[:N]
+            self._iv_state = self.iv.reweight(
+                self._iv_state,
+                np.asarray([ids], np.int32),
+                np.asarray([ws], np.float32),
+            )
 
     # ----------------------------------------------------------- results
 
