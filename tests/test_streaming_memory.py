@@ -1,0 +1,96 @@
+"""Bounded streaming memory + O(1) endpoint checks.
+
+A long utterance without endpoints must not grow the recognizer's device
+record retention (the reference bounds lattice memory with incremental
+determinization, model.h:24; here old records fold into a frozen best-path
+prefix) and per-chunk processing time must stay flat.
+"""
+import json
+import os
+import time
+
+import numpy as np
+import pytest
+
+import vosk_tpu
+from vosk_tpu.utils import toydata
+
+TOY_DIR = "/tmp/vosk_tpu_toy_model_v1"
+
+
+@pytest.fixture(scope="module")
+def model():
+    if not os.path.exists(os.path.join(TOY_DIR, "vosk_tpu_model.json")):
+        toydata.build_toy_model(TOY_DIR, train_steps=400)
+    return vosk_tpu.Model(TOY_DIR)
+
+
+def test_long_stream_constant_memory(model):
+    # words back-to-back with no silence -> no endpoint fires
+    words = (["one", "two", "three", "four"] * 6)[:24]
+    rng = np.random.default_rng(42)
+    wav, _ = toydata.synth_utterance(words, rng, sil_between=False)
+    pcm = np.clip(wav, -32768, 32767).astype("<i2").tobytes()
+
+    rec = vosk_tpu.KaldiRecognizer(model, 16000)
+    r = rec._rec
+    # small window so folding triggers within test-sized audio
+    r.max_window_frames = 40
+    r.keep_window_frames = 24
+
+    step = 3200 * 2  # 0.2 s
+    max_retained = 0
+    chunk_times = []
+    endpoints = 0
+    for off in range(0, len(pcm), step):
+        t0 = time.perf_counter()
+        if rec.AcceptWaveform(pcm[off : off + step]):
+            endpoints += 1
+        chunk_times.append(time.perf_counter() - t0)
+        max_retained = max(
+            max_retained, r._utt_frames - r._folded_frames
+        )
+
+    assert endpoints == 0, "test audio should not trigger endpoints"
+    assert r._folded_frames > 0, "folding never engaged"
+    # retention bounded by the window + one chunk of slack
+    assert max_retained <= r.max_window_frames + 8
+
+    # per-chunk latency flat: median of the last third within 4x of the
+    # first third (the fold itself amortizes; generous bound for CI noise)
+    n = len(chunk_times)
+    first = sorted(chunk_times[: n // 3])[len(chunk_times[: n // 3]) // 2]
+    last = sorted(chunk_times[-(n // 3):])[len(chunk_times[-(n // 3):]) // 2]
+    assert last < 4 * first + 0.05, (first, last)
+
+    out = json.loads(rec.FinalResult())["text"]
+    assert out == " ".join(words), out
+    # the fold stage is observable in metrics
+    assert "fold" in r.get_metrics().get("stages", r.get_metrics())
+
+
+def test_fold_preserves_partials_and_words(model):
+    """Word timings must be continuous across the fold boundary."""
+    words = ["five", "six", "seven", "zero", "one", "two"] * 2
+    rng = np.random.default_rng(7)
+    wav, _ = toydata.synth_utterance(words, rng, sil_between=False)
+    pcm = np.clip(wav, -32768, 32767).astype("<i2").tobytes()
+
+    rec = vosk_tpu.KaldiRecognizer(model, 16000)
+    rec.SetWords(True)
+    r = rec._rec
+    r.max_window_frames = 40
+    r.keep_window_frames = 24
+
+    step = 3200 * 2
+    for off in range(0, len(pcm), step):
+        rec.AcceptWaveform(pcm[off : off + step])
+        rec.PartialResult()  # exercises traceback mid-stream after folds
+    res = json.loads(rec.FinalResult())
+    assert r._folded_frames > 0
+    assert res["text"] == " ".join(words)
+    times = res["result"]
+    assert len(times) == len(words)
+    # monotone non-overlapping word spans spanning the fold boundary
+    for a, b in zip(times, times[1:]):
+        assert a["start"] <= a["end"] <= b["start"] + 1e-6

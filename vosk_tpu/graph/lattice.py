@@ -335,10 +335,14 @@ def build_lattice(
     dec,
     use_final: bool = True,
     node_map_out: Optional[dict] = None,
+    init_override=None,
 ) -> Tuple[Lattice, Dict[int, int]]:
     """Assemble the lattice for one channel from decoder records.
 
     dec: the BatchViterbi (for arc tables + initial frontier).
+    init_override: optional (states [K], costs [K]) anchoring level 0 at a
+    mid-stream fold boundary instead of the utterance start (bounded-memory
+    streaming: older records were folded into a frozen best-path prefix).
     Returns (lattice, final_slot->node map is internal; lattice final costs
     already set).
     """
@@ -350,8 +354,13 @@ def build_lattice(
 
     lat = Lattice()
     # level 0: initial frontier; node per slot
-    init_states = dec._init_states
-    init_costs = dec._init_costs
+    if init_override is not None:
+        init_states, init_costs = init_override
+        init_prefixes = [[] for _ in range(len(init_states))]
+    else:
+        init_states = dec._init_states
+        init_costs = dec._init_costs
+        init_prefixes = dec._init_prefixes
     prev_nodes: Dict[int, int] = {}  # slot -> node id
     prev_costs: Dict[int, float] = {}
     for k in np.where(np.isfinite(init_costs))[0]:
@@ -359,7 +368,7 @@ def build_lattice(
         # connect source to initial slots with their closure cost; if the
         # closure emitted words (rare), chain one arc per prefix word.
         # Nodes MUST be created in topological order (chain before slot node).
-        prefix = dec._init_prefixes[k]
+        prefix = init_prefixes[k]
         src = 0
         for w in prefix[:-1]:
             mid = lat.add_node(0)

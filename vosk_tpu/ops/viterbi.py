@@ -35,6 +35,16 @@ from ..graph.fst import EPSILON, DecodingGraph
 INF = jnp.float32(jnp.inf)
 BIG_I32 = jnp.int32(2**31 - 1)
 
+# device-side trailing-silence tracking: the per-arc pdf field carries a
+# silence-pdf flag in bit 30; per-token state "tsil" packs the trailing
+# silence frame count (low bits) with a has-speech flag (bit 30).  This is
+# what makes endpoint checks O(1): no host traceback needed (the reference
+# reads equivalent decoder state at recognizer.cc:318).
+SIL_FLAG = jnp.int32(1 << 30)
+PDF_MASK = jnp.int32((1 << 30) - 1)
+SPEECH_BIT = jnp.int32(1 << 30)
+TSIL_MASK = jnp.int32((1 << 30) - 1)
+
 
 @dataclasses.dataclass
 class DecodeParams:
@@ -60,11 +70,17 @@ class BatchViterbi:
         lattice_budget: Optional[int] = None,
         layout: Optional[str] = None,  # "padded" | "csr" | None (auto)
         padded_max_out: int = 16,
+        silence_pdfs=None,
     ):
         self.graph = graph
         self.params = params
         self.dedup = dedup
         self.lattice_records = lattice_records
+        self.silence_pdfs = (
+            np.asarray(silence_pdfs, np.int64)
+            if silence_pdfs is not None and len(np.asarray(silence_pdfs))
+            else np.zeros(0, np.int64)
+        )
         S = graph.num_states
         self.S = S
         K = min(params.max_active, max(S, 1))
@@ -91,8 +107,17 @@ class BatchViterbi:
         # device tables; state-indexed arrays padded so sentinel state S is a
         # zero-out-degree, non-final state.
         g = graph
+        # device pdf table carries the silence flag in bit 30 (SIL_FLAG);
+        # host-side consumers keep using graph.em_pdf (clean ids)
+        if len(g.em_pdf):
+            sil_mask = np.isin(g.em_pdf, self.silence_pdfs)
+            self._em_pdf_flagged = np.where(
+                sil_mask, g.em_pdf | (1 << 30), g.em_pdf
+            ).astype(np.int32)
+        else:
+            self._em_pdf_flagged = np.zeros((1,), np.int32)
         self.em_off = jnp.asarray(np.append(g.em_off, g.em_off[-1]))
-        self.em_pdf = jnp.asarray(g.em_pdf) if len(g.em_pdf) else jnp.zeros((1,), jnp.int32)
+        self.em_pdf = jnp.asarray(self._em_pdf_flagged)
         self.em_olabel = jnp.asarray(g.em_olabel) if len(g.em_olabel) else jnp.zeros((1,), jnp.int32)
         self.em_w = jnp.asarray(g.em_w) if len(g.em_w) else jnp.zeros((1,), jnp.float32)
         self.em_next = jnp.asarray(g.em_next) if len(g.em_next) else jnp.zeros((1,), jnp.int32)
@@ -157,16 +182,17 @@ class BatchViterbi:
             pos = np.arange(A) - g.em_off[:-1].astype(np.int64)[state_of_arc]
             w[state_of_arc, pos] = g.em_w
             nxt[state_of_arc, pos] = g.em_next
-            pdf[state_of_arc, pos] = g.em_pdf
+            pdf[state_of_arc, pos] = self._em_pdf_flagged  # silence flag in bit 30
             ola[state_of_arc, pos] = g.em_olabel
         pack = np.concatenate(
             [w, nxt.view(np.float32), pdf.view(np.float32), ola.view(np.float32)],
             axis=1,
         )
         self.em_pack = jnp.asarray(pack)
-        # host-side dense views for lattice building (arc id = state*M + m)
+        # host-side dense views for lattice building (arc id = state*M + m);
+        # pdf stripped of the silence flag
         self.dense_w, self.dense_next = w, nxt
-        self.dense_pdf, self.dense_olabel = pdf, ola
+        self.dense_pdf, self.dense_olabel = pdf & ((1 << 30) - 1), ola
 
         # padded epsilon tables (batched eps closure without vmap); the CSR
         # arc index rides along so lattice records keep CSR eps-arc ids.
@@ -227,6 +253,8 @@ class BatchViterbi:
         return {
             "state": jnp.tile(jnp.asarray(self._init_states)[None, :], (batch, 1)),
             "cost": jnp.tile(jnp.asarray(self._init_costs)[None, :], (batch, 1)),
+            # packed trailing-silence count + has-speech bit per token
+            "tsil": jnp.zeros((batch, self.K), jnp.int32),
         }
 
     # ------------------------------------------------------------- expansion
@@ -415,23 +443,36 @@ class BatchViterbi:
         rows = self.em_pack[tok_state]  # [B, K, 4M] shared-operand gather
         w = rows[:, :, :M].reshape(B, E)
         ns = jax.lax.bitcast_convert_type(rows[:, :, M : 2 * M], jnp.int32).reshape(B, E)
-        pdf = jax.lax.bitcast_convert_type(rows[:, :, 2 * M : 3 * M], jnp.int32).reshape(B, E)
+        pdf_f = jax.lax.bitcast_convert_type(rows[:, :, 2 * M : 3 * M], jnp.int32).reshape(B, E)
         olab = jax.lax.bitcast_convert_type(rows[:, :, 3 * M :], jnp.int32).reshape(B, E)
+        sil = (pdf_f & SIL_FLAG) != 0
+        pdf = pdf_f & PDF_MASK
         ac = jnp.take_along_axis(ll, pdf, axis=1)
         e_ids = jnp.broadcast_to(jnp.arange(E, dtype=jnp.int32), (B, E))
         cost = jnp.repeat(tok_cost, M, axis=1) + w - scale * ac
         mask = jnp.isfinite(w)
+
+        # trailing-silence state: silence arcs extend the run, speech arcs
+        # reset it and latch the has-speech bit
+        prev_ts = jnp.repeat(frontier["tsil"], M, axis=1)
+        cand_ts = jnp.where(
+            sil,
+            ((prev_ts & TSIL_MASK) + 1) | (prev_ts & SPEECH_BIT),
+            SPEECH_BIT,
+        )
 
         nsm = jnp.where(mask, ns, S)
         cm = jnp.where(mask, cost, INF)
         # dense arc ids (state*M + m) computed before sorting so no gather is
         # needed to reconstruct them afterwards
         arc_id = jnp.repeat(tok_state, M, axis=1) * M + (e_ids % M)
-        payloads = {"e": e_ids, "olab": olab, "pdf": pdf, "arc": arc_id}
+        payloads = {"e": e_ids, "olab": olab, "pdf": pdf, "arc": arc_id,
+                    "ts": cand_ts}
         lat = (e_ids // M, arc_id) if self.lattice_records else None
         new_state, new_cost, keep, sel, lattice_rec = self._packed_level(
             nsm, cm, payloads, lat
         )
+        new_tsil = jnp.where(keep, sel["ts"], 0)
         rec = {
             "prev": jnp.where(keep, sel["e"] // M, -1),
             "olabel": jnp.where(keep, sel["olab"], 0),
@@ -443,23 +484,24 @@ class BatchViterbi:
             rec["f_cost"] = new_cost
 
         # eps closure rounds
-        cur_state, cur_cost = new_state, new_cost
+        cur_state, cur_cost, cur_tsil = new_state, new_cost, new_tsil
         rec_levels = [rec]
         for _ in range(self.eps_iters):
             if self.Me:
-                (cur_state, cur_cost), lvl_rec = self._eps_level_batched(
-                    cur_state, cur_cost
+                (cur_state, cur_cost, cur_tsil), lvl_rec = self._eps_level_batched(
+                    cur_state, cur_cost, cur_tsil
                 )
             else:
-                (cur_state, cur_cost), lvl_rec = jax.vmap(self._eps_level)(
-                    cur_state, cur_cost
-                )
+                (cur_state, cur_cost, cur_tsil), lvl_rec = jax.vmap(
+                    self._eps_level
+                )(cur_state, cur_cost, cur_tsil)
             rec_levels.append(lvl_rec)
 
         vb = valid[:, None]
         new_frontier = {
             "state": jnp.where(vb, cur_state, tok_state),
             "cost": jnp.where(vb, cur_cost, tok_cost),
+            "tsil": jnp.where(vb, cur_tsil, frontier["tsil"]),
         }
         slot = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (B, K))
         ident = {
@@ -504,10 +546,11 @@ class BatchViterbi:
         }
         return new_frontier, records
 
-    def _eps_level_batched(self, cur_state, cur_cost):
+    def _eps_level_batched(self, cur_state, cur_cost, cur_tsil):
         """One whole-batch epsilon-closure round over the padded eps tables
         (payload-sort selection, no vmap).  Frontier tokens are carried as
-        zero-cost candidates so states without eps arcs survive the round."""
+        zero-cost candidates so states without eps arcs survive the round;
+        eps moves consume no frame, so tsil passes through unchanged."""
         K, Me, S = self.K, self.Me, self.S
         B = cur_state.shape[0]
         Ke = K * Me
@@ -525,11 +568,13 @@ class BatchViterbi:
         prev = jnp.concatenate([slot, jnp.repeat(slot, Me, axis=1)], axis=1)
         olab = jnp.concatenate([jnp.zeros((B, K), jnp.int32), eol], axis=1)
         arc = jnp.concatenate([jnp.full((B, K), -1, jnp.int32), earc], axis=1)
-        payloads = {"prev": prev, "olab": olab}
+        ts = jnp.concatenate([cur_tsil, jnp.repeat(cur_tsil, Me, axis=1)], axis=1)
+        payloads = {"prev": prev, "olab": olab, "ts": ts}
         lat = (prev, arc) if self.lattice_records else None
         st2, c2, keep2, sel, lattice_rec = self._packed_level(
             all_ns, all_cost, payloads, lat
         )
+        ts2 = jnp.where(keep2, sel["ts"], 0)
         lvl_rec = {
             "prev": jnp.where(keep2, sel["prev"], -1),
             "olabel": jnp.where(keep2, sel["olab"], 0),
@@ -538,10 +583,11 @@ class BatchViterbi:
         if self.lattice_records:
             lvl_rec.update(lattice_rec)
             lvl_rec["f_state"], lvl_rec["f_cost"] = st2, c2
-        return (st2, c2), lvl_rec
+        return (st2, c2, ts2), lvl_rec
 
-    def _eps_level(self, cur_state, cur_cost):
-        """One per-channel epsilon-closure round (vmapped)."""
+    def _eps_level(self, cur_state, cur_cost, cur_tsil):
+        """One per-channel epsilon-closure round (vmapped); eps moves
+        consume no frame, so tsil passes through from the source token."""
         K = self.K
         toke, arce, maske, _ovfe = self._expand(
             cur_state, cur_cost, self.eps_off, self.Ee
@@ -554,7 +600,9 @@ class BatchViterbi:
         all_mask = jnp.concatenate([cur_state != self.S, maske])
         all_prev = jnp.concatenate([slot, toke])
         all_ol = jnp.concatenate([jnp.zeros(K, jnp.int32), self.eps_olabel[arce]])
+        all_ts = jnp.concatenate([cur_tsil, cur_tsil[toke]])
         sel2, st2, c2, keep2 = self._dedup_prune(all_ns, all_cost, all_mask)
+        ts2 = jnp.where(keep2, all_ts[sel2], 0)
         lvl_rec = {
             "prev": jnp.where(keep2, all_prev[sel2], -1),
             "olabel": jnp.where(keep2, all_ol[sel2], 0),
@@ -566,7 +614,7 @@ class BatchViterbi:
                 self._lattice_level(all_ns, all_cost, all_mask, all_prev, all_arc, c2)
             )
             lvl_rec["f_state"], lvl_rec["f_cost"] = st2, c2
-        return (st2, c2), lvl_rec
+        return (st2, c2, ts2), lvl_rec
 
     def _frame_step(self, frontier, loglike, valid):
         """Advance one channel one frame (CSR layout).
@@ -579,15 +627,24 @@ class BatchViterbi:
         tok, arc, mask, _ovf = self._expand(
             tok_state, tok_cost, self.em_off, self.E
         )
-        pdf = self.em_pdf[arc]
+        pdf_f = self.em_pdf[arc]
+        sil = (pdf_f & SIL_FLAG) != 0
+        pdf = pdf_f & PDF_MASK
         cost = tok_cost[tok] + self.em_w[arc] - scale * loglike[pdf]
         ns = self.em_next[arc]
         olab = self.em_olabel[arc]
+        prev_ts = frontier["tsil"][tok]
+        cand_ts = jnp.where(
+            sil,
+            ((prev_ts & TSIL_MASK) + 1) | (prev_ts & SPEECH_BIT),
+            SPEECH_BIT,
+        )
         return self._frame_finish(
-            frontier, tok, arc, ns, cost, pdf, olab, mask, valid
+            frontier, tok, arc, ns, cost, pdf, olab, cand_ts, mask, valid
         )
 
-    def _frame_finish(self, frontier, tok, arc, ns, cost, pdf, olab, mask, valid):
+    def _frame_finish(self, frontier, tok, arc, ns, cost, pdf, olab, cand_ts,
+                      mask, valid):
         K = self.K
         tok_state, tok_cost = frontier["state"], frontier["cost"]
         sel, st1, c1, keep = self._dedup_prune(ns, cost, mask)
@@ -597,6 +654,7 @@ class BatchViterbi:
             "olabel": jnp.where(keep, olab[sel], 0),
             "pdf": jnp.where(keep, pdf[sel], -1),
         }
+        cur_tsil = jnp.where(keep, cand_ts[sel], 0)
         if self.lattice_records:
             em_rec.update(self._lattice_level(ns, cost, mask, tok, arc, c1))
             em_rec["f_state"], em_rec["f_cost"] = st1, c1
@@ -605,39 +663,17 @@ class BatchViterbi:
 
         # ---- epsilon closure levels
         for _ in range(self.eps_iters):
-            toke, arce, maske, _ovfe = self._expand(
-                cur_state, cur_cost, self.eps_off, self.Ee
+            (cur_state, cur_cost, cur_tsil), lvl_rec = self._eps_level(
+                cur_state, cur_cost, cur_tsil
             )
-            ecost = cur_cost[toke] + self.eps_w[arce]
-            ens = self.eps_next[arce]
-            # carry candidates keep existing tokens alive through the level
-            slot = jnp.arange(K, dtype=jnp.int32)
-            all_ns = jnp.concatenate([cur_state, ens])
-            all_cost = jnp.concatenate([cur_cost, ecost])
-            all_mask = jnp.concatenate([cur_state != self.S, maske])
-            all_prev = jnp.concatenate([slot, toke])
-            all_ol = jnp.concatenate([jnp.zeros(K, jnp.int32), self.eps_olabel[arce]])
-            sel2, st2, c2, keep2 = self._dedup_prune(all_ns, all_cost, all_mask)
-            lvl_rec = {
-                "prev": jnp.where(keep2, all_prev[sel2], -1),
-                "olabel": jnp.where(keep2, all_ol[sel2], 0),
-                "pdf": jnp.full((K,), -1, jnp.int32),
-            }
-            if self.lattice_records:
-                # carry entries get arc = -1, eps arcs get their arc index
-                all_arc = jnp.concatenate([jnp.full((K,), -1, jnp.int32), arce])
-                lvl_rec.update(
-                    self._lattice_level(all_ns, all_cost, all_mask, all_prev, all_arc, c2)
-                )
-                lvl_rec["f_state"], lvl_rec["f_cost"] = st2, c2
             rec_levels.append(lvl_rec)
-            cur_state, cur_cost = st2, c2
 
         # ---- valid masking: pass-through when frame is padding
         slot = jnp.arange(K, dtype=jnp.int32)
         new_frontier = {
             "state": jnp.where(valid, cur_state, tok_state),
             "cost": jnp.where(valid, cur_cost, tok_cost),
+            "tsil": jnp.where(valid, cur_tsil, frontier["tsil"]),
         }
         ident = {
             "prev": slot,
@@ -706,6 +742,18 @@ class BatchViterbi:
         best_final_cost = jnp.min(final_tot, axis=1)
         return frontier, recs, best_cost, best_final_cost
 
+    def endpoint_info(self, frontier):
+        """O(1) endpoint inputs from the device-tracked token state: per
+        channel, the best (non-final) token's trailing-silence frame count
+        and whether its path contains speech.  Replaces per-chunk host
+        tracebacks (the reference reads equivalent decoder state,
+        recognizer.cc:318).  Returns (trailing [B], has_speech [B])."""
+        cost = np.asarray(frontier["cost"])
+        tsil = np.asarray(frontier["tsil"])
+        slot = np.argmin(np.where(np.isfinite(cost), cost, np.inf), axis=1)
+        ts = tsil[np.arange(len(slot)), slot]
+        return (ts & int(TSIL_MASK), (ts & int(SPEECH_BIT)) != 0)
+
     def decode_chunk(self, frontier, loglikes, valid=None):
         if valid is None:
             valid = jnp.ones(loglikes.shape[:2], bool)
@@ -732,13 +780,14 @@ class BatchViterbi:
         frontier,
         channel: int,
         use_final: bool = True,
+        at_start: bool = True,
     ) -> tuple[float, list[int], list[int]]:
         """Best-path traceback on host.
 
         Returns (cost, olabels, per-frame pdf alignment).
         """
         cost, ols_frames, pdfs = self.traceback_with_frames(
-            records, frontier, channel, use_final
+            records, frontier, channel, use_final, at_start
         )
         return cost, [o for o, _ in ols_frames], pdfs
 
@@ -748,6 +797,7 @@ class BatchViterbi:
         frontier,
         channel: int,
         use_final: bool = True,
+        at_start: bool = True,
     ) -> tuple[float, list[tuple[int, int]], list[int]]:
         """Best-path traceback with frame indices.
 
@@ -796,8 +846,10 @@ class BatchViterbi:
             if is_frame and p >= 0:
                 fidx -= 1
                 pdfs[fidx] = p
-        # initial-closure olabel prefix of the starting slot (frame 0)
-        if 0 <= slot < len(self._init_prefixes):
+        # initial-closure olabel prefix of the starting slot (frame 0);
+        # skipped when the records don't reach utterance start (at_start
+        # False: folded-window mode, the caller holds the frozen prefix)
+        if at_start and 0 <= slot < len(self._init_prefixes):
             for ol in reversed(self._init_prefixes[slot]):
                 ols_frames.append((ol, 0))
         ols_frames.reverse()

@@ -65,6 +65,7 @@ class BatchPipeline:
                 lattice_beam=model.config.lattice_beam,
                 acoustic_scale=model.config.acoustic_scale,
             ),
+            silence_pdfs=model.silence_pdfs,
         )
         self.rate = model.config.sample_rate
         self.chunk_samples = int(0.2 * self.rate)
@@ -171,17 +172,20 @@ class BatchPipeline:
                 self._steps_since_ep = 0
                 best_np = np.asarray(best)
                 bestf_np = np.asarray(bestf)
+                trail, speech = self.dec.endpoint_info(self._frontier)
                 for ch in list(self._streams):
                     if active_mask[ch] and self._utt_frames[ch] > 0:
-                        self._maybe_endpoint(ch, best_np[ch], bestf_np[ch])
+                        self._maybe_endpoint(
+                            ch, best_np[ch], bestf_np[ch],
+                            int(trail[ch]), bool(speech[ch]),
+                        )
 
-    def _maybe_endpoint(self, ch: int, best: float, best_final: float) -> None:
+    def _maybe_endpoint(self, ch: int, best: float, best_final: float,
+                        trailing: int, has_speech: bool) -> None:
+        """O(1) endpoint inputs from device-tracked trailing silence (no
+        per-channel host traceback)."""
         from . import endpoint as ep
 
-        _, _, pdfs = self.dec.traceback(
-            self._records[ch], self._frontier, ch, use_final=False
-        )
-        trailing, has_speech = ep.trailing_silence(pdfs, self.model.silence_pdfs)
         rel = float(best_final) - float(best)
         fired = ep.endpoint_detected(
             self.rules,

@@ -115,9 +115,11 @@ def nbest_native(
     graph_scale: float = 0.9,
     use_final: bool = True,
     distinct: bool = True,
+    init_override=None,
 ) -> Optional[List[Tuple[float, List[Tuple[int, int, int, float]]]]]:
     """Native n-best: returns [(cost, [(wid, f0, f1, conf)])] or None when
-    the library is unavailable."""
+    the library is unavailable.  init_override: optional (states, costs)
+    anchoring the lattice at a fold boundary (see graph.lattice)."""
     lib = _load()
     if lib is None or not records:
         return None
@@ -183,14 +185,20 @@ def nbest_native(
     fc = np.ascontiguousarray(np.asarray(dec.final_cost, np.float32))
     holders.append(fc)
     rec.final_cost = _ptr(fc, C.c_float)
-    ist = np.ascontiguousarray(dec._init_states.astype(np.int32))
-    ico = np.ascontiguousarray(dec._init_costs.astype(np.float32))
+    if init_override is not None:
+        i_states, i_costs = init_override
+        i_prefixes = [[] for _ in range(len(i_states))]
+    else:
+        i_states, i_costs = dec._init_states, dec._init_costs
+        i_prefixes = dec._init_prefixes
+    ist = np.ascontiguousarray(np.asarray(i_states).astype(np.int32))
+    ico = np.ascontiguousarray(np.asarray(i_costs).astype(np.float32))
     holders += [ist, ico]
     rec.init_state = _ptr(ist, C.c_int32)
     rec.init_cost = _ptr(ico, C.c_float)
-    poff = np.zeros(len(dec._init_prefixes) + 1, np.int32)
+    poff = np.zeros(len(i_prefixes) + 1, np.int32)
     pdata_list = []
-    for i, pref in enumerate(dec._init_prefixes):
+    for i, pref in enumerate(i_prefixes):
         pdata_list.extend(pref)
         poff[i + 1] = len(pdata_list)
     pdata = np.ascontiguousarray(np.asarray(pdata_list or [0], np.int32))

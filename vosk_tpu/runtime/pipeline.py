@@ -47,6 +47,7 @@ class FusedPipeline:
             expand_budget=expand_budget,
             lattice_records=lattice_records,
             lattice_budget=lattice_budget,
+            silence_pdfs=model.silence_pdfs,
         )
         self.rate = model.config.sample_rate
         self.chunk_samples = int(chunk_seconds * self.rate)

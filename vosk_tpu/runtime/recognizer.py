@@ -76,9 +76,16 @@ class Recognizer:
                 acoustic_scale=model.config.acoustic_scale,
             ),
             lattice_records=True,
+            silence_pdfs=model.silence_pdfs,
         )
         self.frame_shift = model.config.frame_shift_seconds
         self.rules = model.endpoint_rules()
+        # bounded streaming memory: device records older than this window
+        # are folded into a frozen best-path prefix (the reference bounds
+        # memory with incremental lattice determinization, model.h:24; here
+        # paths older than ~6 s have converged and are frozen instead)
+        self.max_window_frames = 300
+        self.keep_window_frames = 200
 
         # fixed device chunk: 0.2 s of samples (recognizer.cc:305)
         self.chunk_samples = int(0.2 * self.model_rate)
@@ -146,12 +153,20 @@ class Recognizer:
         self._iv_state = self.iv.init_state(1) if self.iv is not None else None
         self._iv_frames_weighted = 0    # silence weighting high-water mark
         self._frontier = self.dec.init_frontier(1)
-        self._records: list = []
-        self._utt_frames = 0            # output frames decoded this utterance
+        self._reset_utterance_records()
         self._pending = np.zeros(0, np.float32)
         self._best_cost = np.inf
         self._best_final_cost = np.inf
         self._flushed = False
+
+    def _reset_utterance_records(self) -> None:
+        self._records: list = []
+        self._rec_frames: list = []     # decoded frames per retained chunk
+        self._utt_frames = 0            # output frames decoded this utterance
+        self._folded_frames = 0         # frames folded out of the window
+        self._prefix_ols: list = []     # frozen (olabel, frame) before window
+        self._prefix_pdfs: list = []    # frozen pdf alignment before window
+        self._fold_init = None          # (states, costs) at the fold boundary
 
     # ---------------------------------------------------------- options
 
@@ -238,10 +253,61 @@ class Recognizer:
             self._frontier, recs, best, bestf = self.dec.decode_chunk(
                 self._frontier, ll, lvalid
             )
+        n = int(np.asarray(lvalid)[0].sum())
         self._records.append(recs)
-        self._utt_frames += int(np.asarray(lvalid)[0].sum())
+        self._rec_frames.append(n)
+        self._utt_frames += n
         self._best_cost = float(np.asarray(best)[0])
         self._best_final_cost = float(np.asarray(bestf)[0])
+        if self._utt_frames - self._folded_frames > self.max_window_frames:
+            with self.metrics.timer("fold"):
+                self._fold_records()
+
+    def _fold_records(self) -> None:
+        """Bound streaming memory: fold the oldest record chunks into a
+        frozen best-path prefix so retained device records stay within
+        keep_window_frames (the reference bounds lattice memory with
+        incremental determinization, model.h:24; freezing the >6 s-old
+        prefix to the converged best path is the TPU-shaped equivalent —
+        alternatives that old have virtually always collapsed under beam
+        pruning)."""
+        retained = self._utt_frames - self._folded_frames
+        n_drop, drop_frames = 0, 0
+        while (
+            n_drop < len(self._records) - 1
+            and retained - drop_frames > self.keep_window_frames
+        ):
+            drop_frames += self._rec_frames[n_drop]
+            n_drop += 1
+        if n_drop == 0 or drop_frames == 0:
+            return
+        _, ols, pdfs = self.dec.traceback_with_frames(
+            self._records, self._frontier, 0, use_final=False,
+            at_start=self._folded_frames == 0,
+        )
+        self._prefix_ols += [
+            (ol, f + self._folded_frames) for (ol, f) in ols if f < drop_frames
+        ]
+        self._prefix_pdfs += pdfs[:drop_frames]
+        last = self._records[n_drop - 1]
+        self._fold_init = (
+            np.asarray(last["f_state"][0, -1, -1]).copy(),
+            np.asarray(last["f_cost"][0, -1, -1]).copy(),
+        )
+        self._records = self._records[n_drop:]
+        self._rec_frames = self._rec_frames[n_drop:]
+        self._folded_frames += drop_frames
+
+    def _full_traceback(self, use_final: bool):
+        """Best path over the whole utterance: frozen prefix + retained
+        window.  Returns (cost, ols_frames, pdfs) in utterance frames."""
+        cost, ols, pdfs = self.dec.traceback_with_frames(
+            self._records, self._frontier, 0, use_final=use_final,
+            at_start=self._folded_frames == 0,
+        )
+        off = self._folded_frames
+        ols = self._prefix_ols + [(ol, f + off) for (ol, f) in ols]
+        return cost, ols, self._prefix_pdfs + pdfs
 
     def _flush_pending(self, input_finished: bool) -> None:
         """Feed remaining buffered samples; on `input_finished` additionally
@@ -264,27 +330,35 @@ class Recognizer:
     # ---------------------------------------------------------- endpoint
 
     def _endpoint_check(self) -> bool:
+        """O(1) endpoint check from device-tracked trailing silence (no host
+        traceback; the reference reads equivalent decoder state at
+        recognizer.cc:318)."""
         if self._utt_frames == 0:
             return False
-        _, _, pdfs = self.dec.traceback(
-            self._records, self._frontier, 0, use_final=False
-        )
-        self._update_silence_weights(pdfs)
-        trailing, has_speech = ep.trailing_silence(pdfs, self.model.silence_pdfs)
+        trailing, has_speech = self.dec.endpoint_info(self._frontier)
+        if self.iv is not None and self._silence_weight != 1.0 and self._records:
+            # silence weighting needs a frame alignment; a traceback over
+            # just the newest chunk is O(chunk), not O(utterance)
+            _, _, pdfs = self.dec.traceback(
+                [self._records[-1]], self._frontier, 0, use_final=False,
+                at_start=False,
+            )
+            self._update_silence_weights(pdfs, self._utt_frames - len(pdfs))
         rel = self._best_final_cost - self._best_cost
         return ep.endpoint_detected(
             self.rules,
             self._utt_frames,
-            trailing,
+            int(trailing[0]),
             rel,
             self.frame_shift,
-            has_speech,
+            bool(has_speech[0]),
         )
 
-    def _update_silence_weights(self, pdfs) -> None:
+    def _update_silence_weights(self, pdfs, frames_before: int = 0) -> None:
         """Downweight i-vector stats on frames the decoder aligned to
         silence (reference UpdateSilenceWeights, recognizer.cc:226-237).
-        pdfs: per-decode-frame best-path alignment of this utterance."""
+        pdfs: best-path alignment of the utterance's decode frames starting
+        at utterance frame `frames_before`."""
         if (
             self.iv is None
             or self._silence_weight == 1.0
@@ -296,7 +370,7 @@ class Recognizer:
         sil = self._silence_weight_pdfs
         ids, ws = [], []
         for f in range(self._iv_frames_weighted, n_feat):
-            d = f // ss - self.frame_offset_
+            d = f // ss - self.frame_offset_ - frames_before
             if 0 <= d < len(pdfs) and pdfs[d] in sil:
                 ids.append(f)
                 ws.append(self._silence_weight)
@@ -328,8 +402,7 @@ class Recognizer:
         else:
             # restart decoding from the start state, keep feature/AM streams
             self._frontier = self.dec.init_frontier(1)
-            self._records = []
-            self._utt_frames = 0
+            self._reset_utterance_records()
             self._best_cost = np.inf
             self._best_final_cost = np.inf
 
@@ -354,9 +427,7 @@ class Recognizer:
 
     def _best_path_words(self, use_final: bool):
         """Traceback + word segmentation from the pdf alignment."""
-        cost, ols, pdfs = self.dec.traceback_with_frames(
-            self._records, self._frontier, 0, use_final=use_final
-        )
+        cost, ols, pdfs = self._full_traceback(use_final)
         words = self._segment_words(ols, pdfs)
         return cost, words, pdfs
 
@@ -397,13 +468,15 @@ class Recognizer:
                 graph_scale=0.9,
                 use_final=use_final,
                 distinct=n > 1,
+                init_override=self._fold_init,
             )
             if out:
-                return out
+                return self._merge_prefix_paths(out)
         from ..graph.lattice import build_lattice, rescore_lattice
 
         lat, _ = build_lattice(
-            self._records, self._frontier, 0, self.dec, use_final=use_final
+            self._records, self._frontier, 0, self.dec, use_final=use_final,
+            init_override=self._fold_init,
         )
         if rescoring:
             # big-LM rescoring: subtract the graph's G, add the ARPA LM and/or
@@ -457,7 +530,30 @@ class Recognizer:
                     items[wi] = (wid, f0, f1, float(post[ai]))
                     wi += 1
             out.append((cost, items))
-        return out
+        return self._merge_prefix_paths(out)
+
+    def _merge_prefix_paths(self, paths):
+        """Shift window-relative word frames into utterance frames and
+        prepend the frozen best-path prefix (identical for every
+        alternative; its words keep conf 1.0 — their posterior mass has
+        collapsed to the surviving path by fold time)."""
+        if self._folded_frames == 0:
+            return paths
+        prefix_items = [
+            (wid, f0, f1, 1.0)
+            for (wid, f0, f1, _c) in self._segment_words(
+                self._prefix_ols, self._prefix_pdfs
+            )
+        ]
+        off = self._folded_frames
+        return [
+            (
+                cost,
+                prefix_items
+                + [(w, f0 + off, f1 + off, c) for (w, f0, f1, c) in items],
+            )
+            for cost, items in paths
+        ]
 
     def get_metrics(self) -> dict:
         """Per-stage timing report (observability; SURVEY §5 greenfield)."""
