@@ -14,6 +14,7 @@
 #include <cmath>
 #include <cstring>
 #include <limits>
+#include <map>
 #include <queue>
 #include <set>
 #include <unordered_map>
@@ -312,6 +313,17 @@ int32_t vt_lattice_nbest(VtLattice *lat, int32_t n, int32_t distinct,
     post[i] = (float)std::exp(std::min(lp, 0.0));
   }
 
+  // sausage-style confidence pool: every word-arc occurrence by label with
+  // its time anchor, so competing alignments of the same word merge into
+  // one bin posterior (mirrors vosk_tpu/runtime/finishing.py; the role of
+  // Kaldi's MBR sausages in the reference, recognizer.cc:440-444)
+  std::map<int32_t, std::vector<std::pair<int32_t, float>>> occ;
+  for (size_t i = 0; i < lat->arcs.size(); i++) {
+    const Arc &a = lat->arcs[i];
+    if (a.olabel != 0)
+      occ[a.olabel].push_back({lat->node_frame[a.src], post[i]});
+  }
+
   // exact backward heuristic
   std::vector<double> h(N);
   for (int32_t u = 0; u < N; u++) h[u] = lat->final_cost[u];
@@ -353,16 +365,29 @@ int32_t vt_lattice_nbest(VtLattice *lat, int32_t n, int32_t distinct,
         if (a.is_frame) pdfs.push_back(a.pdf);
       }
       int32_t f = 0;
-      std::vector<std::pair<int32_t, int32_t>> word_start;  // (arc, frame)
-      std::vector<float> word_conf;
+      std::vector<std::pair<int32_t, int32_t>> word_start;  // (olabel, frame)
+      std::vector<int32_t> anchors;  // node frame of each word arc's source
       for (int32_t ai : e.path) {
         const Arc &a = lat->arcs[ai];
         if (a.olabel != 0) {
           word_start.push_back({a.olabel, f});
-          word_conf.push_back(post[ai]);
+          anchors.push_back(lat->node_frame[a.src]);
           words.push_back(a.olabel);
         }
         if (a.is_frame) f++;
+      }
+      // bin boundaries at midpoints between adjacent path word anchors;
+      // conf = pooled posterior of same-word occurrences inside the bin
+      std::vector<float> word_conf(words.size());
+      for (size_t i = 0; i < words.size(); i++) {
+        double lo = (i == 0) ? -1e9 : (anchors[i - 1] + anchors[i]) / 2.0;
+        double hi = (i + 1 >= words.size())
+                        ? 1e9
+                        : (anchors[i] + anchors[i + 1]) / 2.0;
+        double conf = 0.0;
+        for (const auto &fp : occ[words[i]])
+          if (fp.first >= lo && fp.first < hi) conf += fp.second;
+        word_conf[i] = (float)std::min(conf, 1.0);
       }
       bool fresh = !distinct || seen_words.insert(words).second;
       if (fresh && !words.empty()) {

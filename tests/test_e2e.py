@@ -274,6 +274,57 @@ def test_batch_recognizer(model):
         assert res["text"] == " ".join(texts[i]), (i, res)
 
 
+def test_batch_results_match_single_stream(model):
+    """Batch streams get the same lattice-based JSON (word timings +
+    posterior confidences) as the single-stream Recognizer on identical
+    audio (reference batch path: batch_recognizer.cc:43-107)."""
+    words = ["three", "zero", "six"]
+    data = wav_bytes(words, seed=88)
+
+    rec1 = vosk_tpu.KaldiRecognizer(model, 16000)
+    rec1.SetWords(True)
+    rec1.AcceptWaveform(data)
+    single = json.loads(rec1.FinalResult())
+
+    bm = vosk_tpu.BatchModel(TOY_DIR, max_batch_size=2)
+    br = vosk_tpu.BatchRecognizer(bm, 16000)
+    # disable endpoint segmentation so the whole clip is one result like
+    # the single-stream FinalResult
+    bm._pipeline.reset_on_endpoint = False
+    br.AcceptWaveform(data)
+    br.FinishStream()
+    bm.Wait()
+    batch = json.loads(br.Result())
+
+    assert batch["text"] == single["text"] == " ".join(words)
+    assert len(batch["result"]) == len(single["result"])
+    confs = [w["conf"] for w in batch["result"]]
+    assert all(0.0 <= c <= 1.0 + 1e-6 for c in confs)
+    assert any(c < 1.0 for c in confs) or all(
+        abs(a["conf"] - b["conf"]) < 1e-3
+        for a, b in zip(batch["result"], single["result"])
+    ), "batch confidences look hardcoded"
+    for a, b in zip(batch["result"], single["result"]):
+        assert a["word"] == b["word"]
+        assert abs(a["start"] - b["start"]) < 0.06
+        assert abs(a["end"] - b["end"]) < 0.06
+        assert abs(a["conf"] - b["conf"]) < 0.05
+
+
+def test_batch_nlsml(model):
+    bm = vosk_tpu.BatchModel(TOY_DIR, max_batch_size=2)
+    br = vosk_tpu.BatchRecognizer(bm, 16000)
+    br.SetNLSML(True)
+    bm._pipeline.reset_on_endpoint = False
+    br.AcceptWaveform(wav_bytes(["four", "one"], seed=89))
+    br.FinishStream()
+    bm.Wait()
+    xml = br.Result()
+    assert xml.startswith("<?xml")
+    assert "<input mode=\"speech\">four one</input>" in xml
+    assert "confidence=" in xml
+
+
 def test_resampled_input(model):
     """8 kHz input resampled to the model's 16 kHz (reference
     allow_downsample / LinearResample behavior)."""

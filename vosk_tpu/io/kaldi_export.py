@@ -215,14 +215,16 @@ def export_kaldi_dir(model: NativeModel, out_dir) -> None:
         f"--use-energy={'true' if mfcc.get('use_energy', True) else 'false'}",
     ]
     (p / "conf" / "mfcc.conf").write_text("\n".join(conf) + "\n")
-    # word-boundary info: 1-state topology words are single-phone-chained;
-    # mark SIL nonword, others internal-begin/end-agnostic "singleton" rows
+    # word-boundary info is only written when phones are word-position
+    # dependent (Kaldi WordBoundaryInfo semantics need begin/end/internal
+    # typing; with shared position-independent phones no consistent typing
+    # exists, and a wrong one would mislead word alignment downstream)
     (p / "graph" / "phones").mkdir(exist_ok=True)
-    sil_set = {int(model.phone_of_pdf[pd]) for pd in model.silence_pdfs}
-    wb_lines = []
-    for ph in range(1, num_phones + 1):
-        wb_lines.append(f"{ph} {'nonword' if ph in sil_set else 'singleton'}")
-    (p / "graph" / "phones" / "word_boundary.int").write_text("\n".join(wb_lines) + "\n")
+    if model.word_boundary:
+        wb_lines = [f"{ph} {ty}" for ph, ty in sorted(model.word_boundary.items())]
+        (p / "graph" / "phones" / "word_boundary.int").write_text(
+            "\n".join(wb_lines) + "\n"
+        )
 
     sil_phones = ":".join(
         str(ph)

@@ -66,7 +66,11 @@ class BatchPipeline:
                 acoustic_scale=model.config.acoustic_scale,
             ),
             silence_pdfs=model.silence_pdfs,
+            lattice_records=True,
         )
+        from .finishing import Finisher
+
+        self._finisher = Finisher(model, self.dec)
         self.rate = model.config.sample_rate
         self.chunk_samples = int(0.2 * self.rate)
         self.max_feat_frames = self.ex.stream_max_frames(self.chunk_samples)
@@ -239,28 +243,31 @@ class BatchPipeline:
         return self.am.process_chunk(state, pad_feats, pad_valid)
 
     def finalize(self, ch: int) -> str:
-        """Best-path result JSON for a finished stream (the reference's
-        lattice-callback -> MBR JSON, batch_recognizer.cc:43-107)."""
+        """Lattice-based result JSON for a finished stream: word timings
+        with lattice-posterior confidences, or NLSML when the stream asked
+        for it — matching the reference's lattice-callback path
+        (batch_recognizer.cc:43-107: scale 0.9 -> align -> MBR -> JSON)."""
         with self._lock:
-            cost, ols_frames, pdfs = self.dec.traceback_with_frames(
-                self._records[ch], self._frontier, ch, use_final=True
+            paths = self._finisher.paths(
+                self._records[ch], self._frontier, ch, n=1, use_final=True
             )
-            sil = set(int(x) for x in self.model.silence_pdfs)
-            T = len(pdfs)
-            words = []
-            for i, (wid, f0) in enumerate(ols_frames):
-                f1 = ols_frames[i + 1][1] if i + 1 < len(ols_frames) else T
-                while f1 > f0 + 1 and pdfs[f1 - 1] in sil:
-                    f1 -= 1
-                off = int(self._frame_offset[ch])
-                words.append(
-                    jsonout.WordResult(
-                        self.model.words.name(wid),
-                        (off + f0) * self.model.config.frame_shift_seconds,
-                        (off + f1) * self.model.config.frame_shift_seconds,
-                        1.0,
-                    )
+            off = int(self._frame_offset[ch])
+            shift = self.model.config.frame_shift_seconds
+            words = [
+                jsonout.WordResult(
+                    self.model.words.name(wid),
+                    (off + f0) * shift,
+                    (off + f1) * shift,
+                    conf,
                 )
+                for (wid, f0, f1, conf) in (paths[0][1] if paths else [])
+            ]
+            stream = self._streams.get(ch)
+            if stream is not None and getattr(stream, "_nlsml", False):
+                conf = (
+                    sum(w.conf for w in words) / len(words) if words else 1.0
+                )
+                return jsonout.nlsml_result([(words, conf)])
             return jsonout.final_result(words, show_words=True)
 
 

@@ -1,0 +1,156 @@
+"""Shared lattice finishing: records -> pruned lattice -> n-best word items
+with posteriors (and optional LM rescoring).
+
+Used by both the streaming Recognizer and the BatchPipeline so batched
+streams get the same lattice-based confidences/timings as single streams
+(the reference batch path converts callback lattices through the same
+word-alignment + MBR code, batch_recognizer.cc:43-107)."""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+
+class Finisher:
+    """Holds per-model rescoring caches; thread-safe for concurrent reads."""
+
+    def __init__(self, model, dec, lattice_beam: Optional[float] = None):
+        self.model = model
+        self.dec = dec
+        self.lattice_beam = (
+            lattice_beam if lattice_beam is not None else model.config.lattice_beam
+        )
+        self._sub_lm = None
+        self._rnn_rescorer = None
+
+    @property
+    def rescoring(self) -> bool:
+        return self.model.g_fst is not None and (
+            self.model.rescore_lm is not None or self.model.rnnlm is not None
+        )
+
+    def paths(
+        self,
+        records: List[dict],
+        frontier,
+        channel: int,
+        n: int,
+        use_final: bool = True,
+        init_override=None,
+    ) -> List[Tuple[float, List[Tuple[int, int, int, float]]]]:
+        """n best paths as [(cost, [(wid, f0, f1, conf)])]; frames relative
+        to the given records."""
+        from . import native_lattice
+
+        model, dec = self.model, self.dec
+        if not self.rescoring and native_lattice.available() and records:
+            out = native_lattice.nbest_native(
+                records,
+                frontier,
+                channel,
+                dec,
+                model.silence_pdfs,
+                n=n,
+                lattice_beam=self.lattice_beam,
+                graph_scale=0.9,
+                use_final=use_final,
+                distinct=n > 1,
+                init_override=init_override,
+            )
+            if out:
+                if model.word_boundary and n == 1 and out[0][1]:
+                    # realign the one-best via the viterbi pdf alignment
+                    # (reference WordAlignLattice, recognizer.cc:435)
+                    from .wordalign import realign_items
+
+                    _, _, pdfs = dec.traceback(
+                        records, frontier, channel, use_final=use_final,
+                        at_start=init_override is None,
+                    )
+                    out = [(out[0][0], realign_items(
+                        out[0][1], pdfs, model.phone_of_pdf,
+                        model.word_boundary,
+                    ))]
+                return out
+        from ..graph.lattice import build_lattice, rescore_lattice
+
+        lat, _ = build_lattice(
+            records, frontier, channel, dec, use_final=use_final,
+            init_override=init_override,
+        )
+        if self.rescoring:
+            # big-LM rescoring: subtract the graph's G, add the ARPA LM
+            # and/or the RNNLM 0.5/0.5 mixture (reference recognizer.cc:680-705)
+            from ..graph.arpa import FstLm
+
+            if self._sub_lm is None:
+                self._sub_lm = FstLm(model.g_fst)
+            add_lm = model.rescore_lm
+            if model.rnnlm is not None:
+                from ..models.rnnlm import MixtureLm, RnnlmRescorer
+
+                if self._rnn_rescorer is None:
+                    self._rnn_rescorer = RnnlmRescorer(model.rnnlm)
+                if add_lm is not None:
+                    add_lm = MixtureLm([(0.5, add_lm), (0.5, self._rnn_rescorer)])
+                else:
+                    add_lm = self._rnn_rescorer
+            lat = rescore_lattice(lat, self._sub_lm, add_lm)
+            if self._rnn_rescorer is not None:
+                self._rnn_rescorer.clear()
+        # reference applies GraphLatticeScale(0.9) before result extraction
+        lat.scale_graph(0.9)
+        lat = lat.prune(self.lattice_beam)
+        post = lat.arc_posteriors()
+        # sausage-style confidence pool: all word-arc occurrences by label
+        # with their time anchors, so competing alignments of the same word
+        # MERGE into one bin posterior (the role of Kaldi's MBR sausages,
+        # recognizer.cc:440-444; split alignments otherwise under-report)
+        occ: dict = {}
+        for ai, a in enumerate(lat.arcs):
+            if a.olabel != 0:
+                occ.setdefault(a.olabel, []).append(
+                    (lat.node_frame[a.src], float(post[ai]))
+                )
+        out = []
+        seen_texts = set()
+        sil = set(int(x) for x in model.silence_pdfs)
+        for cost, path in lat.nbest(4 * n + 8):
+            if len(out) >= n:
+                break
+            pdfs = [lat.arcs[ai].pdf for ai in path if lat.arcs[ai].is_frame]
+            raw = lat.path_words(path)
+            text_key = tuple(w for w, _, _ in raw)
+            if n > 1 and text_key in seen_texts:
+                continue  # distinct lattice paths can share a word sequence
+            seen_texts.add(text_key)
+            items = []
+            for wid, f0, f1 in raw:
+                while f1 > f0 + 1 and f1 - 1 < len(pdfs) and pdfs[f1 - 1] in sil:
+                    f1 -= 1
+                items.append((wid, f0, f1, 1.0))
+            # word-boundary realignment (reference WordAlignLattice,
+            # recognizer.cc:435): exact spans from phone boundary types
+            from .wordalign import realign_items
+
+            items = realign_items(
+                items, pdfs, model.phone_of_pdf, model.word_boundary
+            )
+            # bin boundaries at midpoints between adjacent path word anchors
+            anchors = []
+            for ai in path:
+                a = lat.arcs[ai]
+                if a.olabel != 0:
+                    anchors.append(lat.node_frame[a.src])
+            for wi, (wid, f0, f1, _c) in enumerate(items):
+                lo = (
+                    -1e9 if wi == 0 else (anchors[wi - 1] + anchors[wi]) / 2.0
+                )
+                hi = (
+                    1e9
+                    if wi + 1 >= len(anchors)
+                    else (anchors[wi] + anchors[wi + 1]) / 2.0
+                )
+                conf = sum(p for (f, p) in occ.get(wid, ()) if lo <= f < hi)
+                items[wi] = (wid, f0, f1, min(1.0, conf))
+            out.append((cost, items))
+        return out

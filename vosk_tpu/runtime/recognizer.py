@@ -78,6 +78,9 @@ class Recognizer:
             lattice_records=True,
             silence_pdfs=model.silence_pdfs,
         )
+        from .finishing import Finisher
+
+        self._finisher = Finisher(model, self.dec)
         self.frame_shift = model.config.frame_shift_seconds
         self.rules = model.endpoint_rules()
         # bounded streaming memory: device records older than this window
@@ -433,7 +436,9 @@ class Recognizer:
 
     def _segment_words(self, ols_frames, pdfs):
         """ols_frames: list of (olabel, frame emitted). Produce
-        (wid, start_frame, end_frame, conf) using silence boundaries."""
+        (wid, start_frame, end_frame, conf) from phone word-boundary types
+        when available (reference WordAlignLattice, recognizer.cc:435,752),
+        else from emission frames with silence trimming."""
         sil = set(int(x) for x in self.model.silence_pdfs)
         T = len(pdfs)
         items = []
@@ -443,93 +448,25 @@ class Recognizer:
             while f1 > f0 + 1 and pdfs[f1 - 1] in sil:
                 f1 -= 1
             items.append((wid, f0, f1, 1.0))
-        return items
+        from .wordalign import realign_items
+
+        return realign_items(
+            items, pdfs, self.model.phone_of_pdf, self.model.word_boundary
+        )
 
     def _lattice_paths(self, n: int, use_final: bool):
         """Prune + extract n best lattice paths with word items and
-        per-word posteriors.  Returns [(cost, [(wid, f0, f1, conf)])].
-
-        Uses the native C++ finishing library (core/) when built; the Python
-        lattice is the behavioral oracle and fallback."""
-        from . import native_lattice
-
-        rescoring = self.model.g_fst is not None and (
-            self.model.rescore_lm is not None or self.model.rnnlm is not None
-        )
-        if not rescoring and native_lattice.available() and self._records:
-            out = native_lattice.nbest_native(
-                self._records,
-                self._frontier,
-                0,
-                self.dec,
-                self.model.silence_pdfs,
-                n=n,
-                lattice_beam=self.model.config.lattice_beam,
-                graph_scale=0.9,
-                use_final=use_final,
-                distinct=n > 1,
-                init_override=self._fold_init,
-            )
-            if out:
-                return self._merge_prefix_paths(out)
-        from ..graph.lattice import build_lattice, rescore_lattice
-
-        lat, _ = build_lattice(
-            self._records, self._frontier, 0, self.dec, use_final=use_final,
+        per-word posteriors via the shared Finisher (native C++ library when
+        built, Python lattice oracle otherwise).
+        Returns [(cost, [(wid, f0, f1, conf)])] in utterance frames."""
+        out = self._finisher.paths(
+            self._records,
+            self._frontier,
+            0,
+            n=n,
+            use_final=use_final,
             init_override=self._fold_init,
         )
-        if rescoring:
-            # big-LM rescoring: subtract the graph's G, add the ARPA LM and/or
-            # the RNNLM 0.5/0.5 mixture (reference recognizer.cc:680-705)
-            from ..graph.arpa import FstLm
-
-            if not hasattr(self, "_sub_lm"):
-                self._sub_lm = FstLm(self.model.g_fst)
-            add_lm = self.model.rescore_lm
-            if self.model.rnnlm is not None:
-                from ..models.rnnlm import MixtureLm, RnnlmRescorer
-
-                if not hasattr(self, "_rnn_rescorer"):
-                    self._rnn_rescorer = RnnlmRescorer(self.model.rnnlm)
-                if add_lm is not None:
-                    add_lm = MixtureLm(
-                        [(0.5, add_lm), (0.5, self._rnn_rescorer)]
-                    )
-                else:
-                    add_lm = self._rnn_rescorer
-            lat = rescore_lattice(lat, self._sub_lm, add_lm)
-            if hasattr(self, "_rnn_rescorer"):
-                self._rnn_rescorer.clear()
-        # reference applies GraphLatticeScale(0.9) before result extraction
-        lat.scale_graph(0.9)
-        lat = lat.prune(self.model.config.lattice_beam)
-        post = lat.arc_posteriors()
-        out = []
-        seen_texts = set()
-        for cost, path in lat.nbest(4 * n + 8):
-            if len(out) >= n:
-                break
-            pdfs = [lat.arcs[ai].pdf for ai in path if lat.arcs[ai].is_frame]
-            raw = lat.path_words(path)
-            text_key = tuple(w for w, _, _ in raw)
-            if n > 1 and text_key in seen_texts:
-                continue  # distinct lattice paths can share a word sequence
-            seen_texts.add(text_key)
-            sil = set(int(x) for x in self.model.silence_pdfs)
-            items = []
-            for wid, f0, f1 in raw:
-                while f1 > f0 + 1 and f1 - 1 < len(pdfs) and pdfs[f1 - 1] in sil:
-                    f1 -= 1
-                items.append((wid, f0, f1, 1.0))
-            # attach posteriors to words of this path
-            wi = 0
-            for ai in path:
-                a = lat.arcs[ai]
-                if a.olabel != 0 and wi < len(items):
-                    wid, f0, f1, _ = items[wi]
-                    items[wi] = (wid, f0, f1, float(post[ai]))
-                    wi += 1
-            out.append((cost, items))
         return self._merge_prefix_paths(out)
 
     def _merge_prefix_paths(self, paths):
