@@ -29,6 +29,9 @@ typedef struct {
  *   lat_cost                  : [T, L, R]
  * Arc lookup is through the dense padded tables (arc id = state*M + m):
  *   dense_w [S+1, M], dense_olabel [S+1, M], dense_pdf [S+1, M]
+ * With M > 0 the em-level (lvl 0) lat_arc stores only the in-row slot m;
+ * the dense arc id is reconstructed as prev_state * M + m, where
+ * prev_state is the previous level's f_state at lat_prev.
  * Epsilon arcs use CSR tables (arc id indexes them directly).
  */
 typedef struct {

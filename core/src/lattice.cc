@@ -66,9 +66,13 @@ static VtLattice *build_raw(const VtRecords *r) {
 
   const int32_t T = r->T, L = r->L, K = r->K, R = r->R, S = r->num_states;
 
-  // slot -> (node, viterbi cost) of previous level
+  // slot -> (node, viterbi cost, graph state) of previous level.  The
+  // graph state is needed for the padded layout (M > 0), whose em-level
+  // lat_arc records store the in-row arc slot m: the dense arc id is
+  // reconstructed as prev_state * M + m.
   std::vector<int32_t> prev_node(K, -1);
   std::vector<float> prev_cost(K, kInf);
+  std::vector<int32_t> prev_state(K, S);
   for (int32_t k = 0; k < K; k++) {
     if (std::isfinite(r->init_cost[k])) {
       // start-closure olabel prefix words chain before the slot node
@@ -86,12 +90,14 @@ static VtLattice *build_raw(const VtRecords *r) {
       int32_t n = lat->add_node(0);
       prev_node[k] = n;
       prev_cost[k] = r->init_cost[k];
+      prev_state[k] = r->init_state[k];
       lat->add_arc({src, n, last_word, r->init_cost[k], 0.f, false, -1});
     }
   }
 
   std::vector<int32_t> cur_node(K);
   std::vector<float> cur_cost(K);
+  std::vector<int32_t> cur_state(K);
   std::unordered_map<int32_t, int32_t> state_slot;
   state_slot.reserve(K * 2);
 
@@ -112,11 +118,13 @@ static VtLattice *build_raw(const VtRecords *r) {
       state_slot.clear();
       std::fill(cur_node.begin(), cur_node.end(), -1);
       std::fill(cur_cost.begin(), cur_cost.end(), kInf);
+      std::fill(cur_state.begin(), cur_state.end(), S);
       int32_t cur_frame = frame + (is_real ? 1 : 0);
       for (int32_t k = 0; k < K; k++) {
         if (std::isfinite(fc[k]) && fs[k] != S) {
           cur_node[k] = lat->add_node(cur_frame);
           cur_cost[k] = fc[k];
+          cur_state[k] = fs[k];
           state_slot.emplace(fs[k], k);
         }
       }
@@ -138,6 +146,7 @@ static VtLattice *build_raw(const VtRecords *r) {
           a.is_frame = true;
           if (ai >= 0) {
             if (r->M > 0) {
+              ai = prev_state[pslot] * r->M + ai;  // lat_arc stores m
               a.graph_cost = r->dense_w[ai];
               a.olabel = r->dense_olabel[ai];
               a.pdf = r->dense_pdf[ai];
@@ -169,6 +178,7 @@ static VtLattice *build_raw(const VtRecords *r) {
       }
       prev_node = cur_node;
       prev_cost = cur_cost;
+      prev_state = cur_state;
     }
     if (is_real) frame++;
   }

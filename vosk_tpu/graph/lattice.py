@@ -361,8 +361,12 @@ def build_lattice(
         init_states = dec._init_states
         init_costs = dec._init_costs
         init_prefixes = dec._init_prefixes
+    # padded-layout (v3) em-level lat_arc stores the in-row arc slot m;
+    # the dense arc id is reconstructed as prev_state * M + m
+    lat_arc_is_m = getattr(dec, "lat_arc_is_m", False)
     prev_nodes: Dict[int, int] = {}  # slot -> node id
     prev_costs: Dict[int, float] = {}
+    prev_states: Dict[int, int] = {}  # slot -> graph state (for lat_arc_is_m)
     for k in np.where(np.isfinite(init_costs))[0]:
         k = int(k)
         # connect source to initial slots with their closure cost; if the
@@ -377,6 +381,7 @@ def build_lattice(
         node = lat.add_node(0)
         prev_nodes[k] = node
         prev_costs[k] = float(init_costs[k])
+        prev_states[k] = int(init_states[k])
         lat.add_arc(
             LatArc(
                 src,
@@ -407,11 +412,13 @@ def build_lattice(
                 state_slot: Dict[int, int] = {}
                 nodes: Dict[int, int] = {}
                 ncosts: Dict[int, float] = {}
+                nstates: Dict[int, int] = {}
                 cur_frame = frame_idx + (1 if (is_real and lvl >= 0) else 0)
                 for k in np.where(np.isfinite(costs) & (states != dec.S))[0]:
                     k = int(k)
                     nodes[k] = lat.add_node(cur_frame)
                     ncosts[k] = float(costs[k])
+                    nstates[k] = int(states[k])
                     state_slot.setdefault(int(states[k]), k)
                     if node_map_out is not None:
                         node_map_out[(len(node_map_out) // 10**9, t, lvl, k)] = nodes[k]
@@ -431,6 +438,8 @@ def build_lattice(
                     delta = total - prev_costs[pslot]
                     ai = int(lat_arc[t, lvl, r])
                     if lvl == 0 and is_real:
+                        if lat_arc_is_m and ai >= 0:
+                            ai = prev_states[pslot] * dec.M + ai
                         gw, ol, pdf = dec.host_em_arc(ai) if ai >= 0 else (0.0, 0, -1)
                         lat.add_arc(
                             LatArc(
@@ -459,7 +468,7 @@ def build_lattice(
                             lat.add_arc(
                                 LatArc(prev_nodes[pslot], nodes[slot], 0, delta, 0.0, False)
                             )
-                prev_nodes, prev_costs = nodes, ncosts
+                prev_nodes, prev_costs, prev_states = nodes, ncosts, nstates
             if is_real:
                 frame_idx += 1
 

@@ -37,13 +37,19 @@ BIG_I32 = jnp.int32(2**31 - 1)
 
 # device-side trailing-silence tracking: the per-arc pdf field carries a
 # silence-pdf flag in bit 30; per-token state "tsil" packs the trailing
-# silence frame count (low bits) with a has-speech flag (bit 30).  This is
+# silence frame count (low bits) with a has-speech flag (bit 21).  This is
 # what makes endpoint checks O(1): no host traceback needed (the reference
-# reads equivalent decoder state at recognizer.cc:318).
+# reads equivalent decoder state at recognizer.cc:318).  The speech bit
+# sits low enough (tsil < 2^22 < 2^24) that tsil values stay exact through
+# the f32 one-hot matmul gathers of ops/gather.py.
 SIL_FLAG = jnp.int32(1 << 30)
 PDF_MASK = jnp.int32((1 << 30) - 1)
-SPEECH_BIT = jnp.int32(1 << 30)
-TSIL_MASK = jnp.int32((1 << 30) - 1)
+SPEECH_BIT = jnp.int32(1 << 21)
+TSIL_MASK = jnp.int32((1 << 21) - 1)
+# padded-layout ns fields carry "target state has epsilon arcs" in bit 30,
+# so epsilon-closure rounds know their sources without a graph lookup
+EPS_NS_FLAG = jnp.int32(1 << 30)
+NS_MASK = jnp.int32((1 << 30) - 1)
 
 
 @dataclasses.dataclass
@@ -71,6 +77,8 @@ class BatchViterbi:
         layout: Optional[str] = None,  # "padded" | "csr" | None (auto)
         padded_max_out: int = 16,
         silence_pdfs=None,
+        dedup_slack: float = 2.0,
+        eps_budget: int = 1024,
     ):
         self.graph = graph
         self.params = params
@@ -103,6 +111,14 @@ class BatchViterbi:
         # lattice candidate budget per level (must fit both candidate pools)
         R = lattice_budget or max(self.K, min(2048, self.E))
         self.R = min(max(R, self.K), self.E, self.K + self.Ee)
+        # v3 selection: dedup/top-K run on the cost-ordered top-K2 prefix of
+        # the candidate pool (exact when the pool fits; otherwise equivalent
+        # to max_active pruning with the duplicate-heavy tail cut first)
+        self.K2 = max(self.K, int(np.ceil(dedup_slack * K)))
+        # v3 eps rounds expand only the best Eb eps-flagged tokens
+        self.Eb = max(1, min(K, eps_budget))
+        # one-hot gathers of state ids are f32-exact below 2^24
+        self._gather_exact_f32 = (S + 1) < (1 << 24)
 
         # device tables; state-indexed arrays padded so sentinel state S is a
         # zero-out-degree, non-final state.
@@ -165,39 +181,65 @@ class BatchViterbi:
     # ------------------------------------------------------------------ init
 
     def _build_padded_tables(self) -> None:
-        """Dense [S+1, M] arc layout packed into ONE f32 gather row per state
-        [S+1, 4*M]: (w | next | pdf | olabel), int fields bit-cast to f32.
-        Pad slots: w=+inf, next=S.  One row gather replaces the CSR cumsum/
-        searchsorted/per-field gather chain — the dominant cost on TPU where
-        each non-fusable op pays a fixed launch overhead."""
+        """Dense [S+1, M] arc layout packed into ONE f32 gather row per state.
+
+        v3 packing (3 planes per arc instead of 4 — the row gather is
+        latency-bound per row and near-linear in row bytes):
+          w    : f32 graph weight (+inf pad)
+          nsf  : next state | EPS_NS_FLAG if the target has epsilon arcs
+          meta : (olabel << (pdf_bits+1)) | (is_silence << pdf_bits) | pdf
+        When the olabel doesn't fit the remaining meta bits, a 4th plane
+        carries it separately (self.ol_in_meta False).
+        Pad slots: w=+inf, next=S, meta=0."""
         g, S, M = self.graph, self.S, self.M
+        if S >= (1 << 30):
+            raise ValueError("padded layout supports < 2^30 states")
         A = len(g.em_pdf)
         w = np.full((S + 1, M), np.inf, np.float32)
         nxt = np.full((S + 1, M), S, np.int32)
         pdf = np.zeros((S + 1, M), np.int32)
         ola = np.zeros((S + 1, M), np.int32)
+        sil = np.zeros((S + 1, M), np.int32)
+        has_eps = np.zeros(S + 1, bool)
+        if self.has_eps:
+            has_eps[:S] = g.eps_off[1:] > g.eps_off[:-1]
         if A:
             cnt = (g.em_off[1:] - g.em_off[:-1]).astype(np.int64)
             state_of_arc = np.repeat(np.arange(S), cnt)
             pos = np.arange(A) - g.em_off[:-1].astype(np.int64)[state_of_arc]
             w[state_of_arc, pos] = g.em_w
             nxt[state_of_arc, pos] = g.em_next
-            pdf[state_of_arc, pos] = self._em_pdf_flagged  # silence flag in bit 30
+            pdf[state_of_arc, pos] = g.em_pdf
+            sil[state_of_arc, pos] = np.isin(g.em_pdf, self.silence_pdfs)
             ola[state_of_arc, pos] = g.em_olabel
-        pack = np.concatenate(
-            [w, nxt.view(np.float32), pdf.view(np.float32), ola.view(np.float32)],
-            axis=1,
-        )
-        self.em_pack = jnp.asarray(pack)
-        # host-side dense views for lattice building (arc id = state*M + m);
-        # pdf stripped of the silence flag
-        self.dense_w, self.dense_next = w, nxt
-        self.dense_pdf, self.dense_olabel = pdf & ((1 << 30) - 1), ola
+        nsf = np.where(has_eps[nxt], nxt | (1 << 30), nxt).astype(np.int32)
 
-        # padded epsilon tables (batched eps closure without vmap); the CSR
-        # arc index rides along so lattice records keep CSR eps-arc ids.
+        self.pdf_bits = max(int(pdf.max()).bit_length(), 1)
+        ol_bits = 32 - (self.pdf_bits + 1)
+        self.ol_in_meta = int(ola.max()) < (1 << ol_bits)
+        meta = (
+            (sil.astype(np.uint32) << self.pdf_bits) | pdf.astype(np.uint32)
+        )
+        if self.ol_in_meta:
+            meta |= ola.astype(np.uint32) << (self.pdf_bits + 1)
+        planes = [w, nsf.view(np.float32), meta.view(np.int32).view(np.float32)]
+        if not self.ol_in_meta:
+            planes.append(ola.view(np.float32))
+        self.em_pack = jnp.asarray(np.concatenate(planes, axis=1))
+        # host-side dense views for lattice building (arc id = state*M + m)
+        self.dense_w, self.dense_next = w, nxt
+        self.dense_pdf, self.dense_olabel = pdf, ola
+        # static (prev << mbits | m) vector for candidate slot e = prev*M + m
+        self.mbits = max((M - 1).bit_length(), 1)
+        e_ids = np.arange(self.K * M, dtype=np.int32)
+        self._prevm_const = jnp.asarray(
+            ((e_ids // M) << self.mbits) | (e_ids % M)
+        )
+
+        # padded epsilon tables (w | nsf | olabel | CSR arc idx); the CSR
+        # index rides along so lattice records keep CSR eps-arc ids.
         self.Me = 0
-        if self.has_eps and g.max_eps_out <= 2 * max(self.M, 4):
+        if self.has_eps and g.max_eps_out <= 32:
             Me = max(int(g.max_eps_out), 1)
             An = len(g.eps_next)
             ew = np.full((S + 1, Me), np.inf, np.float32)
@@ -211,10 +253,11 @@ class BatchViterbi:
             enxt[st, pos] = g.eps_next
             eola[st, pos] = g.eps_olabel
             eidx[st, pos] = np.arange(An, dtype=np.int32)
+            ensf = np.where(has_eps[enxt], enxt | (1 << 30), enxt).astype(np.int32)
             self.Me = Me
             self.eps_pack = jnp.asarray(
                 np.concatenate(
-                    [ew, enxt.view(np.float32), eola.view(np.float32),
+                    [ew, ensf.view(np.float32), eola.view(np.float32),
                      eidx.view(np.float32)], axis=1,
                 )
             )
@@ -337,14 +380,13 @@ class BatchViterbi:
 
     # ---------------------------------------------------- packed sort helpers
     #
-    # The frame step's irregular work is done entirely by single-key sorts
-    # that CARRY their payloads: on this TPU backend a multi-operand
-    # `lax.sort` moves ~1.4 ps/byte/pass while every `take_along_axis` /
-    # `top_k`-then-gather costs ~10-17 ns per element (XLA lowers batched
-    # dynamic gathers element-at-a-time).  Measured on v5e, see
-    # tools/mb_primitives.py + tools/mb_framestep.py; replacing
-    # top_k + 5 selects with payload sorts cut the honest-operating-point
-    # frame step (max_active=7000, 2M states) by ~2x.
+    # The frame step's irregular work runs through sorts and one-hot matmul
+    # gathers — never `take_along_axis`/scatters, which XLA lowers on TPU
+    # element-at-a-time (~10 ns/element, tools/mb_parts.py).  v3 structure
+    # (one cost-ordered sort of the full candidate pool carrying packed
+    # payloads, then dedup/top-K sorts on a short prefix, then small one-hot
+    # gathers to reconstruct per-token state) measured ~3x faster than the
+    # v2 three-full-sort structure at the honest operating point.
 
     @staticmethod
     def _cost_bits(cost):
@@ -358,138 +400,183 @@ class BatchViterbi:
         raw = jnp.where(bits < 0, jnp.int32(-2147483648) - bits, bits)
         return jax.lax.bitcast_convert_type(raw, jnp.float32)
 
-    def _packed_level(self, nsm, cm, payloads, lat_payloads=None):
-        """Dedup by next state + top-K/beam selection, payload-carrying.
+    def _select_v3(self, cbits, nsf, pay1, pay2, pay3=None):
+        """Shared selection core: dedup by next state + top-K + beam prune
+        + lattice prefix, from a cost-ordered single sort.
 
-        nsm/cm: [B, N] candidate next-states (masked to sentinel S) and
-        costs (masked to +inf).  payloads: dict of int32 [B, N] arrays to
-        carry through to the K survivors.  lat_payloads: (prev, arc) for
-        lattice record emission (enables the third, cost-ordered sort).
+        cbits: [B, N] order-encoded candidate costs (BIG_I32 for masked).
+        nsf:   [B, N] flagged next states (sentinel S for masked).
+        pay1/pay2/pay3: int32 payloads carried through.
 
-        Returns (new_state, new_cost, keep, sel_payloads, lattice_rec).
-        Selection semantics match Kaldi's: per-state min (dedup), then the
-        best max_active states by cost, then beam pruning about the best.
+        Returns (kbits, nsf_k, pays_k, lat_prefix) where lat_prefix is the
+        cost-ordered top-R rows (cbits, nsf, pay1, pay2, pay3) for lattice
+        emission.  Selection semantics match Kaldi's: per-state min (dedup),
+        then the best max_active states by cost, then the caller applies
+        beam pruning about the best.
+
+        Dedup runs on the cost-ordered top-K2 prefix only (K2 >= 2*K by
+        default): exact whenever the pool fits the prefix, and otherwise
+        equivalent to Kaldi's max_active pruning with the duplicate-heavy
+        tail cut first.
         """
-        B, N = nsm.shape
-        K, S = self.K, self.S
-        beam = self.params.beam
+        B, N = cbits.shape
+        K, R = self.K, self.R
+        ops = (cbits, nsf, pay1, pay2) + (() if pay3 is None else (pay3,))
+        sA = jax.lax.sort(ops, num_keys=1, dimension=1)
 
-        names = sorted(payloads)
-        cbits = self._cost_bits(cm)
-        sorted1 = jax.lax.sort(
-            (nsm, cbits) + tuple(payloads[n] for n in names),
-            num_keys=2,
-            dimension=1,
-        )
-        s_state, s_cbits, s_pay = sorted1[0], sorted1[1], sorted1[2:]
-        first = jnp.concatenate(
-            [jnp.ones((B, 1), bool), s_state[:, 1:] != s_state[:, :-1]], axis=1
-        )
-        alive = first & (s_state != S)
-        key2 = jnp.where(alive, s_cbits, BIG_I32)
-        sorted2 = jax.lax.sort(
-            (key2, s_state) + tuple(s_pay), num_keys=1, dimension=1
-        )
-        kbits = sorted2[0][:, :K]
-        new_state = sorted2[1][:, :K]
-        sel_pay = {n: p[:, :K] for n, p in zip(names, sorted2[2:])}
-        new_cost = self._bits_cost(kbits)
-        keep = (kbits < BIG_I32) & (kbits <= self._cost_bits(new_cost[:, :1] + beam))
-        new_state = jnp.where(keep, new_state, S)
-        new_cost = jnp.where(keep, new_cost, INF)
-
-        lattice_rec = None
-        if lat_payloads is not None:
-            R = self.R
-            lprev, larc = lat_payloads
-            key3 = self._cost_bits(cm)
-            sorted3 = jax.lax.sort(
-                (key3, nsm, lprev, larc), num_keys=1, dimension=1
+        def takeR(x, fill):
+            if N >= R:
+                return x[:, :R]
+            return jnp.concatenate(
+                [x, jnp.full((B, R - N), fill, x.dtype)], axis=1
             )
 
-            def takeR(x, fill):
-                if N >= R:
-                    return x[:, :R]
-                return jnp.concatenate(
-                    [x, jnp.full((B, R - N), fill, x.dtype)], axis=1
-                )
+        lat_prefix = (
+            takeR(sA[0], BIG_I32),
+            takeR(sA[1], self.S),
+            takeR(sA[2], -1),
+            takeR(sA[3], -1),
+        ) + (() if pay3 is None else (takeR(sA[4], -1),))
 
-            lcost = self._bits_cost(takeR(sorted3[0], BIG_I32))
-            best = new_cost[:, :1]  # sort2 slot 0 is the post-dedup best
-            lkeep = lcost <= best + self.params.lattice_beam
-            lattice_rec = {
-                "lat_ns": jnp.where(lkeep, takeR(sorted3[1], S), S),
-                "lat_prev": jnp.where(lkeep, takeR(sorted3[2], -1), -1),
-                "lat_arc": jnp.where(lkeep, takeR(sorted3[3], -1), -1),
-                "lat_cost": jnp.where(lkeep, lcost, INF),
-            }
-        return new_state, new_cost, keep, sel_pay, lattice_rec
+        K2 = min(N, self.K2)
+        sub = tuple(x[:, :K2] for x in sA)
+        sB = jax.lax.sort((sub[1], sub[0]) + sub[2:], num_keys=2, dimension=1)
+        first = jnp.concatenate(
+            [jnp.ones((B, 1), bool), sB[0][:, 1:] != sB[0][:, :-1]], axis=1
+        )
+        alive = first & (sB[0] != self.S) & (sB[1] < BIG_I32)
+        key = jnp.where(alive, sB[1], BIG_I32)
+        sC = jax.lax.sort((key, sB[0]) + sB[2:], num_keys=1, dimension=1)
+        if K2 < K:  # tiny graphs: pool smaller than max_active
+            sC = tuple(
+                jnp.concatenate(
+                    [x, jnp.full((B, K - K2), f, x.dtype)], axis=1
+                )
+                for x, f in zip(sC, (BIG_I32, self.S, -1, -1, -1))
+            )
+        kbits = sC[0][:, :K]
+        nsf_k = sC[1][:, :K]
+        pays_k = tuple(x[:, :K] for x in sC[2:])
+        return kbits, nsf_k, pays_k, lat_prefix
+
+    def _small_gather(self, table, idx):
+        """Per-channel gather from a [B, K]-sized int32 table via one-hot
+        matmuls; exact for any int32 (16-bit split when values may exceed
+        the f32-exact range)."""
+        from .gather import onehot_gather, onehot_gather_i32
+
+        if self._gather_exact_f32:
+            return onehot_gather(table, idx)
+        return onehot_gather_i32(table, idx)
 
     # ------------------------------------------------------------- one frame
 
     def _frame_step_batched(self, frontier, ll, valid):
-        """Whole-batch frame step for the padded layout — no vmap anywhere,
-        every op natively batched.  All selection/dedup runs through
-        payload-carrying sorts (_packed_level); the only dynamic gathers are
-        the per-state arc-row fetch and the acoustic lookup.
+        """Whole-batch frame step for the padded layout (v3).
+
+        Structure (see tools/mb_parts.py for the per-primitive costs that
+        drove it):
+          1. one row gather em_pack[tok_state] -> [B, K, 3M]
+          2. candidate costs with the acoustic term via an exact one-hot
+             matmul gather (ops/gather.py) — never take_along_axis
+          3. one cost-ordered sort of all E=K*M candidates carrying packed
+             payloads (nsf, prev|m, meta); its prefix feeds both the lattice
+             rows and a short dedup/top-K sort pair
+          4. survivors' per-token extras (trailing silence) reconstructed by
+             small one-hot gathers from the [B, K] frontier tables
 
         ll: [B, P] acoustic rows; valid: [B] bool.
         """
+        from .gather import onehot_gather
+
         K, M, E, S = self.K, self.M, self.E, self.S
         scale = self.params.acoustic_scale
+        pb, mbits = self.pdf_bits, self.mbits
+        pdf_mask = jnp.int32((1 << pb) - 1)
         tok_state, tok_cost = frontier["state"], frontier["cost"]  # [B, K]
         B = tok_state.shape[0]
 
-        rows = self.em_pack[tok_state]  # [B, K, 4M] shared-operand gather
+        rows = self.em_pack[tok_state]  # [B, K, 3M or 4M] row gather
         w = rows[:, :, :M].reshape(B, E)
-        ns = jax.lax.bitcast_convert_type(rows[:, :, M : 2 * M], jnp.int32).reshape(B, E)
-        pdf_f = jax.lax.bitcast_convert_type(rows[:, :, 2 * M : 3 * M], jnp.int32).reshape(B, E)
-        olab = jax.lax.bitcast_convert_type(rows[:, :, 3 * M :], jnp.int32).reshape(B, E)
-        sil = (pdf_f & SIL_FLAG) != 0
-        pdf = pdf_f & PDF_MASK
-        ac = jnp.take_along_axis(ll, pdf, axis=1)
-        e_ids = jnp.broadcast_to(jnp.arange(E, dtype=jnp.int32), (B, E))
+        nsf = jax.lax.bitcast_convert_type(rows[:, :, M : 2 * M], jnp.int32).reshape(B, E)
+        meta = jax.lax.bitcast_convert_type(rows[:, :, 2 * M : 3 * M], jnp.int32).reshape(B, E)
+        olab_sep = None
+        if not self.ol_in_meta:
+            olab_sep = jax.lax.bitcast_convert_type(
+                rows[:, :, 3 * M : 4 * M], jnp.int32
+            ).reshape(B, E)
+        pdf = meta & pdf_mask
+        ac = onehot_gather(ll, pdf)
         cost = jnp.repeat(tok_cost, M, axis=1) + w - scale * ac
         mask = jnp.isfinite(w)
 
-        # trailing-silence state: silence arcs extend the run, speech arcs
-        # reset it and latch the has-speech bit
-        prev_ts = jnp.repeat(frontier["tsil"], M, axis=1)
+        nsm = jnp.where(mask, nsf, S)
+        cbits = jnp.where(mask, self._cost_bits(cost), BIG_I32)
+        prevm = jnp.broadcast_to(self._prevm_const, (B, E))
+        metam = jnp.where(mask, meta, 0)
+
+        kbits, nsf_k, pays_k, lat_prefix = self._select_v3(
+            cbits, nsm, prevm, metam,
+            None if olab_sep is None else jnp.where(mask, olab_sep, 0),
+        )
+        new_cost = self._bits_cost(kbits)
+        keep = (kbits < BIG_I32) & (
+            kbits <= self._cost_bits(new_cost[:, :1] + self.params.beam)
+        )
+        new_state = jnp.where(keep, nsf_k & NS_MASK, S)
+        new_cost = jnp.where(keep, new_cost, INF)
+        eflag = keep & ((nsf_k & EPS_NS_FLAG) != 0)
+        prevm_k, meta_k = pays_k[0], pays_k[1]
+        prev = jnp.where(keep, prevm_k >> mbits, 0)
+        sil = ((meta_k >> pb) & 1) != 0
+        pdf_k = meta_k & pdf_mask
+        if self.ol_in_meta:
+            olab_k = jax.lax.shift_right_logical(meta_k, pb + 1)
+        else:
+            olab_k = pays_k[2]
+
+        # trailing-silence update: gather the source token's tsil, then
+        # silence arcs extend the run, speech arcs reset it + latch speech
+        prev_ts = onehot_gather(frontier["tsil"], prev)  # tsil < 2^22: exact
         cand_ts = jnp.where(
             sil,
             ((prev_ts & TSIL_MASK) + 1) | (prev_ts & SPEECH_BIT),
             SPEECH_BIT,
         )
+        new_tsil = jnp.where(keep, cand_ts, 0)
 
-        nsm = jnp.where(mask, ns, S)
-        cm = jnp.where(mask, cost, INF)
-        # dense arc ids (state*M + m) computed before sorting so no gather is
-        # needed to reconstruct them afterwards
-        arc_id = jnp.repeat(tok_state, M, axis=1) * M + (e_ids % M)
-        payloads = {"e": e_ids, "olab": olab, "pdf": pdf, "arc": arc_id,
-                    "ts": cand_ts}
-        lat = (e_ids // M, arc_id) if self.lattice_records else None
-        new_state, new_cost, keep, sel, lattice_rec = self._packed_level(
-            nsm, cm, payloads, lat
-        )
-        new_tsil = jnp.where(keep, sel["ts"], 0)
         rec = {
-            "prev": jnp.where(keep, sel["e"] // M, -1),
-            "olabel": jnp.where(keep, sel["olab"], 0),
-            "pdf": jnp.where(keep, sel["pdf"], -1),
+            "prev": jnp.where(keep, prev, -1),
+            "olabel": jnp.where(keep, olab_k, 0),
+            "pdf": jnp.where(keep, pdf_k, -1),
         }
         if self.lattice_records:
-            rec.update(lattice_rec)
-            rec["f_state"] = new_state
-            rec["f_cost"] = new_cost
+            lat_cb, lat_nsf = lat_prefix[0], lat_prefix[1]
+            lat_prevm, lat_meta = lat_prefix[2], lat_prefix[3]
+            lat_cost = self._bits_cost(lat_cb)
+            lkeep = (lat_cb < BIG_I32) & (
+                lat_cost <= new_cost[:, :1] + self.params.lattice_beam
+            )
+            rec.update(
+                {
+                    "lat_ns": jnp.where(lkeep, lat_nsf & NS_MASK, S),
+                    "lat_prev": jnp.where(lkeep, lat_prevm >> mbits, -1),
+                    # em-level lat_arc stores the in-row arc slot m; hosts
+                    # reconstruct the dense arc id as prev_state * M + m
+                    "lat_arc": jnp.where(lkeep, lat_prevm & ((1 << mbits) - 1), -1),
+                    "lat_cost": jnp.where(lkeep, lat_cost, INF),
+                    "f_state": new_state,
+                    "f_cost": new_cost,
+                }
+            )
 
         # eps closure rounds
         cur_state, cur_cost, cur_tsil = new_state, new_cost, new_tsil
         rec_levels = [rec]
         for _ in range(self.eps_iters):
             if self.Me:
-                (cur_state, cur_cost, cur_tsil), lvl_rec = self._eps_level_batched(
-                    cur_state, cur_cost, cur_tsil
+                (cur_state, cur_cost, cur_tsil, eflag), lvl_rec = (
+                    self._eps_level_batched(cur_state, cur_cost, cur_tsil, eflag)
                 )
             else:
                 (cur_state, cur_cost, cur_tsil), lvl_rec = jax.vmap(
@@ -546,44 +633,95 @@ class BatchViterbi:
         }
         return new_frontier, records
 
-    def _eps_level_batched(self, cur_state, cur_cost, cur_tsil):
-        """One whole-batch epsilon-closure round over the padded eps tables
-        (payload-sort selection, no vmap).  Frontier tokens are carried as
-        zero-cost candidates so states without eps arcs survive the round;
-        eps moves consume no frame, so tsil passes through unchanged."""
+    def _eps_level_batched(self, cur_state, cur_cost, cur_tsil, eflag):
+        """One whole-batch epsilon-closure round (v3).
+
+        Only tokens whose state actually has epsilon arcs (eflag, tracked
+        via EPS_NS_FLAG on arc targets) are expanded — the top `Eb` of them
+        by cost, selected with a cheap top_k.  In real HCLG graphs only a
+        few percent of states carry eps arcs, so this replaces a K*Me-wide
+        expansion with an Eb*Me one (Eb ~ K/8).  When more than Eb tokens
+        carry eps arcs the worst ones are not expanded — the non-emitting
+        analogue of max_active pruning.  Frontier tokens ride along as
+        identity candidates so states without eps arcs survive the round;
+        eps moves consume no frame, so tsil passes through from the source.
+        """
         K, Me, S = self.K, self.Me, self.S
         B = cur_state.shape[0]
-        Ke = K * Me
-        rows = self.eps_pack[cur_state]  # [B, K, 4Me]
+        Eb = self.Eb
+        Ke = Eb * Me
+
+        # pick eps-expansion sources: best Eb eps-flagged tokens
+        src_key = jnp.where(eflag, self._cost_bits(cur_cost), BIG_I32)
+        neg, src = jax.lax.top_k(-src_key, Eb)  # src: [B, Eb] slot ids
+        src_cb = -neg
+        src_alive = src_cb < BIG_I32
+        src_cost = self._bits_cost(src_cb)
+        src_state = self._small_gather(cur_state, src)
+        rows = self.eps_pack[jnp.where(src_alive, src_state, S)]  # [B, Eb, 4Me]
         w = rows[:, :, :Me].reshape(B, Ke)
-        ens = jax.lax.bitcast_convert_type(rows[:, :, Me : 2 * Me], jnp.int32).reshape(B, Ke)
+        ensf = jax.lax.bitcast_convert_type(rows[:, :, Me : 2 * Me], jnp.int32).reshape(B, Ke)
         eol = jax.lax.bitcast_convert_type(rows[:, :, 2 * Me : 3 * Me], jnp.int32).reshape(B, Ke)
         earc = jax.lax.bitcast_convert_type(rows[:, :, 3 * Me :], jnp.int32).reshape(B, Ke)
-        slot = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (B, K))
-        ecost = jnp.repeat(cur_cost, Me, axis=1) + w
-        emask = jnp.isfinite(w)
+        ecost = jnp.repeat(src_cost, Me, axis=1) + w
+        emask = jnp.isfinite(w) & jnp.repeat(src_alive, Me, axis=1)
 
-        all_ns = jnp.concatenate([cur_state, jnp.where(emask, ens, S)], axis=1)
-        all_cost = jnp.concatenate([cur_cost, jnp.where(emask, ecost, INF)], axis=1)
-        prev = jnp.concatenate([slot, jnp.repeat(slot, Me, axis=1)], axis=1)
-        olab = jnp.concatenate([jnp.zeros((B, K), jnp.int32), eol], axis=1)
-        arc = jnp.concatenate([jnp.full((B, K), -1, jnp.int32), earc], axis=1)
-        ts = jnp.concatenate([cur_tsil, jnp.repeat(cur_tsil, Me, axis=1)], axis=1)
-        payloads = {"prev": prev, "olab": olab, "ts": ts}
-        lat = (prev, arc) if self.lattice_records else None
-        st2, c2, keep2, sel, lattice_rec = self._packed_level(
-            all_ns, all_cost, payloads, lat
+        # candidate pool: identity carries (frontier tokens) + eps targets
+        slot = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (B, K))
+        id_nsf = jnp.where(
+            cur_state == S, S, cur_state | jnp.where(eflag, EPS_NS_FLAG, 0)
         )
-        ts2 = jnp.where(keep2, sel["ts"], 0)
+        all_cb = jnp.concatenate(
+            [self._cost_bits(cur_cost),
+             jnp.where(emask, self._cost_bits(ecost), BIG_I32)], axis=1
+        )
+        all_ns = jnp.concatenate([id_nsf, jnp.where(emask, ensf, S)], axis=1)
+        all_prev = jnp.concatenate([slot, jnp.repeat(src, Me, axis=1)], axis=1)
+        all_ol = jnp.concatenate(
+            [jnp.zeros((B, K), jnp.int32), jnp.where(emask, eol, 0)], axis=1
+        )
+        all_arc = jnp.concatenate(
+            [jnp.full((B, K), -1, jnp.int32), jnp.where(emask, earc, -1)], axis=1
+        )
+
+        kbits, nsf_k, pays_k, lat_prefix = self._select_v3(
+            all_cb, all_ns, all_prev, all_ol, all_arc
+        )
+        c2 = self._bits_cost(kbits)
+        keep2 = (kbits < BIG_I32) & (
+            kbits <= self._cost_bits(c2[:, :1] + self.params.beam)
+        )
+        st2 = jnp.where(keep2, nsf_k & NS_MASK, S)
+        c2 = jnp.where(keep2, c2, INF)
+        eflag2 = keep2 & ((nsf_k & EPS_NS_FLAG) != 0)
+        prev_k = jnp.where(keep2, pays_k[0], 0)
+        # eps moves consume no frame: tsil carries over from the source slot
+        from .gather import onehot_gather
+
+        ts2 = jnp.where(keep2, onehot_gather(cur_tsil, prev_k), 0)
         lvl_rec = {
-            "prev": jnp.where(keep2, sel["prev"], -1),
-            "olabel": jnp.where(keep2, sel["olab"], 0),
+            "prev": jnp.where(keep2, prev_k, -1),
+            "olabel": jnp.where(keep2, pays_k[1], 0),
             "pdf": jnp.full((B, K), -1, jnp.int32),
         }
         if self.lattice_records:
-            lvl_rec.update(lattice_rec)
-            lvl_rec["f_state"], lvl_rec["f_cost"] = st2, c2
-        return (st2, c2, ts2), lvl_rec
+            lat_cb, lat_nsf = lat_prefix[0], lat_prefix[1]
+            lat_prev, lat_ol, lat_arc = lat_prefix[2], lat_prefix[3], lat_prefix[4]
+            lat_cost = self._bits_cost(lat_cb)
+            lkeep = (lat_cb < BIG_I32) & (
+                lat_cost <= c2[:, :1] + self.params.lattice_beam
+            )
+            lvl_rec.update(
+                {
+                    "lat_ns": jnp.where(lkeep, lat_nsf & NS_MASK, S),
+                    "lat_prev": jnp.where(lkeep, lat_prev, -1),
+                    "lat_arc": jnp.where(lkeep, lat_arc, -1),
+                    "lat_cost": jnp.where(lkeep, lat_cost, INF),
+                    "f_state": st2,
+                    "f_cost": c2,
+                }
+            )
+        return (st2, c2, ts2, eflag2), lvl_rec
 
     def _eps_level(self, cur_state, cur_cost, cur_tsil):
         """One per-channel epsilon-closure round (vmapped); eps moves
@@ -760,6 +898,13 @@ class BatchViterbi:
         return self._decode_jit(self.tables, frontier, loglikes, valid)
 
     # ------------------------------------------------------------ host side
+
+    @property
+    def lat_arc_is_m(self) -> bool:
+        """Padded-layout (v3) em-level lattice records store the in-row arc
+        slot m instead of the dense arc id; hosts reconstruct the id as
+        prev_state * M + m (see graph/lattice.py, core/src/lattice.cc)."""
+        return self.layout == "padded"
 
     def host_em_arc(self, ai: int) -> tuple[float, int, int]:
         """(graph_weight, olabel, pdf) of an emitting-arc record id — dense
