@@ -27,16 +27,6 @@ from ..ops.viterbi import BatchViterbi, DecodeParams
 from . import jsonout
 
 
-def _resample_linear(wave: np.ndarray, src_rate: float, dst_rate: float) -> np.ndarray:
-    """Arbitrary-rate -> model-rate resampling (role of Kaldi LinearResample
-    at reference batch_recognizer.cc:27-29,157-158)."""
-    if abs(src_rate - dst_rate) < 1e-6 or len(wave) == 0:
-        return wave
-    n_out = int(round(len(wave) * dst_rate / src_rate))
-    x_out = np.arange(n_out) * (src_rate / dst_rate)
-    return np.interp(x_out, np.arange(len(wave)), wave).astype(np.float32)
-
-
 class BatchPipeline:
     """Shared fixed-B streaming pipeline over one model."""
 
@@ -293,6 +283,16 @@ class BatchRecognizer:
     def __init__(self, batch_model: BatchModel, sample_rate: float):
         self._pipeline = batch_model._pipeline
         self.sample_rate = float(sample_rate)
+        # stateful band-limited resampler per stream, matching the
+        # reference's per-stream Kaldi LinearResample
+        # (batch_recognizer.cc:27-29,157-158)
+        self._resampler = None
+        if abs(self.sample_rate - self._pipeline.rate) > 1e-6:
+            from ..ops.resample import StreamingResampler
+
+            self._resampler = StreamingResampler(
+                self.sample_rate, self._pipeline.rate
+            )
         self._buffer = np.zeros(0, np.float32)
         self._results: deque = deque()
         self._channel: Optional[int] = None
@@ -309,7 +309,8 @@ class BatchRecognizer:
             wave = pcm16_bytes_to_float(bytes(data))
         else:
             wave = np.asarray(data, np.float32)
-        wave = _resample_linear(wave, self.sample_rate, self._pipeline.rate)
+        if self._resampler is not None:
+            wave = self._resampler.process(wave)
         ch = self._ensure_channel()
         self._buffer = np.concatenate([self._buffer, wave])
         S = self._pipeline.chunk_samples
@@ -324,6 +325,11 @@ class BatchRecognizer:
         if self._channel is None:
             return
         ch = self._channel
+        if self._resampler is not None:
+            tail = self._resampler.flush()
+            if len(tail):
+                self._buffer = np.concatenate([self._buffer, tail])
+            self._resampler.reset()
         if len(self._buffer) > 0:
             self._pipeline.push(ch, self._buffer)
             self._buffer = np.zeros(0, np.float32)

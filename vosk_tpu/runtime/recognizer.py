@@ -213,9 +213,16 @@ class Recognizer:
         self.state = State.RUNNING
 
         if abs(self.sample_rate - self.model_rate) > 1e-6:
-            from .batch import _resample_linear
+            # stateful band-limited resampler (role of the reference's
+            # per-stream Kaldi LinearResample, batch_recognizer.cc:27-29);
+            # phase carries across calls so chunking doesn't alias
+            if getattr(self, "_resampler", None) is None:
+                from ..ops.resample import StreamingResampler
 
-            wave = _resample_linear(wave, self.sample_rate, self.model_rate)
+                self._resampler = StreamingResampler(
+                    self.sample_rate, self.model_rate
+                )
+            wave = self._resampler.process(wave)
 
         if self.spk_model is not None:
             self._spk_feats.append(wave.copy())
@@ -318,6 +325,11 @@ class Recognizer:
         only in FinalResult, recognizer.cc:824-827 — the endpoint Result() at
         recognizer.cc:808 does NOT flush, so the feature/AM stream stays live
         for the next utterance)."""
+        if input_finished and getattr(self, "_resampler", None) is not None:
+            tail = self._resampler.flush()
+            if len(tail):
+                self._pending = np.concatenate([self._pending, tail])
+            self._resampler.reset()
         if len(self._pending) > 0:
             self._process_chunk(self._pending, len(self._pending))
             self._pending = np.zeros(0, np.float32)
@@ -467,6 +479,20 @@ class Recognizer:
             use_final=use_final,
             init_override=self._fold_init,
         )
+        if not out and use_final:
+            # no complete final-state path inside the lattice beam: fall
+            # back to non-final paths, like Kaldi's "Not producing output as
+            # no final-state was active" path which still returns the best
+            # live token's result (reference recognizer.cc FinalResult ->
+            # GetLattice(use_final_probs=false) fallback semantics)
+            out = self._finisher.paths(
+                self._records,
+                self._frontier,
+                0,
+                n=n,
+                use_final=False,
+                init_override=self._fold_init,
+            )
         return self._merge_prefix_paths(out)
 
     def _merge_prefix_paths(self, paths):
@@ -571,4 +597,6 @@ class Recognizer:
 
     def reset(self) -> None:
         self._store_empty()
+        if getattr(self, "_resampler", None) is not None:
+            self._resampler.reset()
         self.state = State.ENDPOINT
