@@ -114,6 +114,7 @@ class BatchViterbi:
         # v3 selection: dedup/top-K run on the cost-ordered top-K2 prefix of
         # the candidate pool (exact when the pool fits; otherwise equivalent
         # to max_active pruning with the duplicate-heavy tail cut first)
+        self._dedup_slack = dedup_slack
         self.K2 = max(self.K, int(np.ceil(dedup_slack * K)))
         # v3 eps rounds expand only the best Eb eps-flagged tokens
         self.Eb = max(1, min(K, eps_budget))
@@ -165,6 +166,57 @@ class BatchViterbi:
         self._table_keys = table_keys
         self.tables = {k: getattr(self, k) for k in table_keys}
         self._decode_jit = jax.jit(self._decode_entry)
+
+    def clone_with_max_active(self, k: int) -> "BatchViterbi":
+        """A decoder over the SAME graph tables with a smaller max_active.
+
+        Device tables (em_pack/eps_pack/...) and host dense views are shared
+        by reference; only the K-derived shapes and the jit cache are
+        rebuilt.  Used for adaptive max-active: when few tokens are live,
+        a small-K variant decodes identically (max_active is an upper
+        bound) at a fraction of the per-frame cost.  Padded layout only.
+        """
+        if self.layout != "padded":
+            raise ValueError("clone_with_max_active requires the padded layout")
+        c = object.__new__(BatchViterbi)
+        c.__dict__.update(self.__dict__)
+        c.params = dataclasses.replace(self.params, max_active=k)
+        K = min(k, max(self.S, 1))
+        c.K = K
+        c.E = K * self.M
+        c.K2 = max(K, int(np.ceil(self._dedup_slack * K)))
+        c.Eb = max(1, min(K, self.Eb))
+        c.R = min(max(K, min(2048, c.E)), c.E)
+        e_ids = np.arange(c.E, dtype=np.int32)
+        c._prevm_const = jnp.asarray(((e_ids // self.M) << self.mbits)
+                                     | (e_ids % self.M))
+        c._init_states, c._init_costs, c._init_prefixes = c._initial_closure()
+        c._decode_jit = jax.jit(c._decode_entry)
+        return c
+
+    def resize_frontier(self, frontier, k_new: int):
+        """Adapt a frontier pytree between max_active variants.  Selection
+        leaves slots cost-sorted, so truncation keeps the best tokens;
+        growth pads dead slots (sentinel state, +inf cost)."""
+        B, K = frontier["state"].shape
+        if k_new == K:
+            return frontier
+        if k_new < K:
+            return {k: v[:, :k_new] for k, v in frontier.items()}
+        pad = k_new - K
+        fill = {"state": self.S, "cost": jnp.inf, "tsil": 0}
+        return {
+            k: jnp.concatenate(
+                [v, jnp.full((B, pad), fill[k], v.dtype)], axis=1
+            )
+            for k, v in frontier.items()
+        }
+
+    def live_tokens(self, frontier) -> np.ndarray:
+        """Per-channel count of live (finite-cost) tokens — the adaptive
+        max-active signal (host-side, piggybacks on the endpoint pull)."""
+        cost = np.asarray(frontier["cost"])
+        return np.isfinite(cost).sum(axis=1)
 
     def _decode_entry(self, tables, frontier, loglikes, valid):
         """Jit entry point: rebinds the graph tables to the traced arguments

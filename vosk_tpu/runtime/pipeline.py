@@ -54,6 +54,9 @@ class FusedPipeline:
         self.F = self.ex.stream_max_frames(self.chunk_samples)
         self.collect_records = collect_records
         self.mesh = mesh
+        # adaptive max-active ladder (run_adaptive); ascending, capped by
+        # the model's max_active
+        self.adaptive_ladder = (1024, 2048, 4096)
 
         params = self.am.params
         if mesh is not None:
@@ -109,8 +112,30 @@ class FusedPipeline:
         ll_bias: optional [T, B, F, P] acoustic bias (see _step_impl).
         Returns (state, stacked records|None, best [T, B]).
         """
-        key = ll_bias is not None
-        if getattr(self, "_scan_key", None) != key:
+        return self._run_scan_for(self.dec, state, audio, n_samples, ll_bias)
+
+    def _run_scan_for(self, dec, state, audio, n_samples=None, ll_bias=None):
+        key = (id(dec), ll_bias is not None)
+        if not hasattr(self, "_scan_jits"):
+            self._scan_jits = {}
+        if key not in self._scan_jits:
+            def step_impl(params, tables, st, a, n, lb):
+                feat_state, feats, fvalid = self.ex._extract_chunk_impl(
+                    st["feat"], a, None, n
+                )
+                am_state, ll, lvalid = self.am._process_chunk_impl(
+                    params, st["am"], feats, fvalid, None
+                )
+                if lb is not None:
+                    ll = ll * 1e-3 + lb
+                frontier, recs, best, bestf = dec._decode_entry(
+                    tables, st["frontier"], ll, lvalid
+                )
+                st2 = {"feat": feat_state, "am": am_state, "frontier": frontier}
+                if not self.collect_records:
+                    recs = None
+                return st2, recs, best
+
             def scan_fn(params, tables, state, audio, n_samples, ll_bias):
                 def body(st, xs):
                     if ll_bias is None:
@@ -118,20 +143,67 @@ class FusedPipeline:
                         lb = None
                     else:
                         a, n, lb = xs
-                    st2, recs, best, bestf, nf = self._step_impl(
-                        params, tables, st, a, n, lb
-                    )
+                    st2, recs, best = step_impl(params, tables, st, a, n, lb)
                     return st2, (recs, best)
 
                 xs = (audio, n_samples) if ll_bias is None else (
                     audio, n_samples, ll_bias)
                 return jax.lax.scan(body, state, xs)
 
-            self._scan_jit = jax.jit(scan_fn, static_argnames=())
-            self._scan_key = key
+            self._scan_jits[key] = jax.jit(scan_fn, static_argnames=())
         if n_samples is None:
             n_samples = jnp.full(audio.shape[:2], audio.shape[2], jnp.int32)
-        state, (recs, best) = self._scan_jit(
-            self.params, self.dec.tables, state, audio, n_samples, ll_bias
+        state, (recs, best) = self._scan_jits[key](
+            self.params, dec.tables, state, audio, n_samples, ll_bias
         )
         return state, recs, best
+
+    # ---------------------------------------------------- adaptive max-active
+
+    def run_adaptive(self, state, audio, n_samples=None, ll_bias=None,
+                     seg: int = 8, headroom: float = 0.75):
+        """run_scan in segments with an adaptive max_active ladder.
+
+        max_active is an UPPER BOUND on live tokens (Kaldi semantics): when
+        beam pruning keeps fewer tokens live, decoding at a smaller
+        max_active variant is identical and several times cheaper at the
+        honest operating point (the frame step scales ~linearly in K; see
+        tools/profile_v3.py).  Between segments the host reads the live
+        token count and picks the smallest variant k with live <= headroom*k
+        for the next segment; a segment that fills a small variant steps up
+        on the next boundary (transiently equivalent to a tighter
+        max_active — the same adaptation Kaldi's own beam logic applies).
+
+        Returns (state, [per-segment records|None], best [T, B]).
+        """
+        if not getattr(self, "_adaptive_decs", None):
+            ladder = [k for k in self.adaptive_ladder if k < self.dec.params.max_active]
+            self._adaptive_decs = [
+                self.dec.clone_with_max_active(k) for k in ladder
+            ] + [self.dec]
+        decs = self._adaptive_decs
+        T = audio.shape[0]
+        if n_samples is None:
+            n_samples = jnp.full(audio.shape[:2], audio.shape[2], jnp.int32)
+        cur = 0  # utterances start from the initial closure: few live tokens
+        recs_out, best_out = [], []
+        for t0 in range(0, T, seg):
+            t1 = min(t0 + seg, T)
+            dec = decs[cur]
+            state = dict(state)
+            state["frontier"] = self.dec.resize_frontier(
+                state["frontier"], dec.K
+            )
+            state, recs, best = self._run_scan_for(
+                dec, state, audio[t0:t1],
+                n_samples[t0:t1],
+                None if ll_bias is None else ll_bias[t0:t1],
+            )
+            recs_out.append(recs)
+            best_out.append(best)
+            live = int(dec.live_tokens(state["frontier"]).max())
+            cur = next(
+                (i for i, d in enumerate(decs) if live <= headroom * d.K),
+                len(decs) - 1,
+            )
+        return state, recs_out, jnp.concatenate(best_out, axis=0)

@@ -58,10 +58,17 @@ def make_realistic_graph(
     em_next = np.where(pos_in_state == 0, state_of_arc, tgt).astype(np.int32)
 
     em_pdf = rng.integers(0, num_pdfs, Ae).astype(np.int32)
-    em_w = rng.uniform(0.05, 6.0, Ae).astype(np.float32)
     em_olabel = np.where(
         rng.random(Ae) < 0.08, rng.integers(1, num_words + 1, Ae), 0
     ).astype(np.int32)
+    # cost structure of a real HCLG: HMM-transition arcs are near-free
+    # (competing hypotheses stay inside the beam for many frames — this is
+    # what makes real decoders carry hundreds-to-thousands of live tokens);
+    # word-emitting arcs carry LM costs of a few nats
+    em_w = rng.uniform(0.0, 0.3, Ae).astype(np.float32)
+    em_w = np.where(
+        em_olabel > 0, rng.uniform(2.0, 10.0, Ae).astype(np.float32), em_w
+    )
 
     n_eps_states = int(S * eps_fraction)
     eps_cnt = np.zeros(S, np.int64)
