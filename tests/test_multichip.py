@@ -1,0 +1,118 @@
+"""Production pipeline classes on a device mesh (8 virtual CPU devices).
+
+The round-1 multichip evidence was a toy model driven by hand-rolled steps;
+these tests run the REAL FusedPipeline over (data, model) meshes and pin
+parity against the single-device pipeline: channel sharding must be exactly
+result-preserving (decode is channel-local), and AM tensor-sharding must
+agree up to reduction-order noise.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vosk_tpu.parallel import mesh as pm
+from vosk_tpu.runtime.pipeline import FusedPipeline
+from vosk_tpu.utils.benchdata import make_bench_model
+
+
+@pytest.fixture(scope="module")
+def model():
+    return make_bench_model(
+        num_states=4000, num_pdfs=256, hidden=64, max_active=256,
+        realistic=True, num_words=500, seed=5,
+    )
+
+
+def _run(pipe, audio_dev):
+    state = pipe.init_state()
+    state, recs, best = pipe.run_scan(state, audio_dev)
+    return np.asarray(best), recs, state
+
+
+def test_decode_data_parallel_exact(model):
+    """The decoder sharded over channels must be BIT-EXACT vs single-device:
+    token passing is channel-local (sorts and one-hot gathers are
+    per-channel), so partitioning the batch cannot change results."""
+    from vosk_tpu.ops.viterbi import BatchViterbi, DecodeParams
+
+    B, T, Pn = 8, 6, 256
+    dec = BatchViterbi(
+        model.graph,
+        DecodeParams(beam=13.0, max_active=256, lattice_beam=6.0),
+        lattice_records=True,
+        silence_pdfs=model.silence_pdfs,
+    )
+    rng = np.random.default_rng(0)
+    ll = (rng.standard_normal((B, T, Pn)) * 2).astype(np.float32)
+    valid = np.ones((B, T), bool)
+
+    f_ref, recs_ref, best_ref, bestf_ref = dec.decode_chunk(
+        dec.init_frontier(B), jnp.asarray(ll), jnp.asarray(valid)
+    )
+
+    mesh = pm.make_mesh(4, 1)
+    csh = NamedSharding(mesh, P("data"))
+    rep = pm.replicated(mesh)
+    dec.tables = {k: jax.device_put(v, rep) for k, v in dec.tables.items()}
+    frontier = pm.shard_channel_state(mesh, dec.init_frontier(B))
+    f_dp, recs_dp, best_dp, bestf_dp = dec.decode_chunk(
+        frontier,
+        jax.device_put(ll, csh),
+        jax.device_put(valid, csh),
+    )
+
+    np.testing.assert_array_equal(np.asarray(best_dp), np.asarray(best_ref))
+    np.testing.assert_array_equal(np.asarray(bestf_dp), np.asarray(bestf_ref))
+    for k in f_ref:
+        np.testing.assert_array_equal(
+            np.asarray(f_dp[k]), np.asarray(f_ref[k]), err_msg=k
+        )
+    for k in recs_ref:
+        np.testing.assert_array_equal(
+            np.asarray(recs_dp[k]), np.asarray(recs_ref[k]), err_msg=k
+        )
+
+
+def test_pipeline_data_parallel(model):
+    """Full pipeline sharded over channels: decode semantics preserved up to
+    XLA's sharding-dependent matmul tiling in the AM (~1% cost drift)."""
+    B, T = 8, 3
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal((T, B, 3200)) * 300).astype(np.float32)
+
+    ref_pipe = FusedPipeline(model, batch=B, collect_records=True,
+                             lattice_records=True)
+    best_ref, recs_ref, _ = _run(ref_pipe, jnp.asarray(audio))
+
+    mesh = pm.make_mesh(4, 1)
+    pipe = FusedPipeline(model, batch=B, mesh=mesh, collect_records=True,
+                         lattice_records=True)
+    audio_dev = jax.device_put(
+        audio, NamedSharding(mesh, P(None, "data"))
+    )
+    best_dp, recs_dp, _ = _run(pipe, audio_dev)
+    np.testing.assert_allclose(best_dp, best_ref, rtol=0.03, atol=0.2)
+
+
+def test_tensor_parallel_am(model):
+    """AM hidden-dim tensor sharding over `model` (XLA inserts the
+    all-reduces): decode results agree with single-device up to
+    reduction-order noise."""
+    B, T = 8, 2
+    rng = np.random.default_rng(1)
+    audio = (rng.standard_normal((T, B, 3200)) * 300).astype(np.float32)
+
+    ref_pipe = FusedPipeline(model, batch=B)
+    best_ref, _, _ = _run(ref_pipe, jnp.asarray(audio))
+
+    mesh = pm.make_mesh(4, 2)
+    assert mesh.shape["model"] == 2
+    pipe = FusedPipeline(model, batch=B, mesh=mesh)
+    audio_dev = jax.device_put(audio, NamedSharding(mesh, P(None, "data")))
+    best_tp, _, _ = _run(pipe, audio_dev)
+
+    assert np.isfinite(best_tp).all()
+    # bf16 AM compute + sharding-dependent reduction order: a few percent
+    np.testing.assert_allclose(best_tp, best_ref, rtol=0.05, atol=0.2)

@@ -63,6 +63,12 @@ class FusedPipeline:
             from ..parallel import mesh as pm
 
             params = pm.shard_am_params(mesh, params)
+            # graph tables are identical on every device: replicate them
+            # explicitly so channel-sharded decode doesn't pull from chip 0
+            rep = pm.replicated(mesh)
+            self.dec.tables = {
+                k: jax.device_put(v, rep) for k, v in self.dec.tables.items()
+            }
         self.params = params
         self._step = jax.jit(self._step_impl)
 
