@@ -96,6 +96,55 @@ def test_pipeline_data_parallel(model):
     np.testing.assert_allclose(best_dp, best_ref, rtol=0.03, atol=0.2)
 
 
+def test_sharded_frontier_decode_parity(model):
+    """Utterance-sharded search (expansion split over the `model` axis with
+    the pmin-synced beam threshold + all_gather merge) must reproduce the
+    single-device decode: same frontier (as state/cost sets) and best costs."""
+    from vosk_tpu.ops.viterbi import BatchViterbi, DecodeParams
+
+    B, T, Pn = 4, 6, 256
+    dec = BatchViterbi(
+        model.graph,
+        DecodeParams(beam=13.0, max_active=256, lattice_beam=6.0),
+        lattice_records=True,
+        silence_pdfs=model.silence_pdfs,
+    )
+    rng = np.random.default_rng(2)
+    ll = (rng.standard_normal((B, T, Pn)) * 2).astype(np.float32)
+
+    f_ref, recs_ref, best_ref, bestf_ref = dec.decode_chunk(
+        dec.init_frontier(B), jnp.asarray(ll)
+    )
+
+    mesh = pm.make_mesh(2, 4)  # expansion sharded 4 ways
+    csh = NamedSharding(mesh, P("data"))
+    rep = pm.replicated(mesh)
+    dec.tables = {k: jax.device_put(v, rep) for k, v in dec.tables.items()}
+    frontier = {
+        k: jax.device_put(v, csh) for k, v in dec.init_frontier(B).items()
+    }
+    f_sh, recs_sh, best_sh, bestf_sh = dec.decode_chunk_sharded(
+        mesh, frontier, jax.device_put(ll, csh)
+    )
+
+    np.testing.assert_array_equal(np.asarray(best_sh), np.asarray(best_ref))
+    np.testing.assert_array_equal(np.asarray(bestf_sh), np.asarray(bestf_ref))
+    # frontiers may order equal-cost ties differently across the merge:
+    # compare as sorted (state, cost) multisets per channel
+    for b in range(B):
+        ref = sorted(zip(np.asarray(f_ref["state"][b]).tolist(),
+                         np.asarray(f_ref["cost"][b]).tolist()))
+        got = sorted(zip(np.asarray(f_sh["state"][b]).tolist(),
+                         np.asarray(f_sh["cost"][b]).tolist()))
+        assert got == ref
+    # traceback words must agree
+    for b in range(B):
+        c_ref, ols_ref, _ = dec.traceback([recs_ref], f_ref, b, use_final=False)
+        c_sh, ols_sh, _ = dec.traceback([recs_sh], f_sh, b, use_final=False)
+        assert abs(c_ref - c_sh) < 1e-4
+        assert ols_ref == ols_sh
+
+
 def test_tensor_parallel_am(model):
     """AM hidden-dim tensor sharding over `model` (XLA inserts the
     all-reduces): decode results agree with single-device up to

@@ -539,37 +539,67 @@ class BatchViterbi:
 
         ll: [B, P] acoustic rows; valid: [B] bool.
         """
+        cands = self._expand_candidates(
+            frontier["state"], frontier["cost"], ll
+        )
+        return self._finish_from_candidates(frontier, cands, valid)
+
+    def _expand_candidates(self, tok_state, tok_cost, ll, slot_base=0,
+                           slot_stride=1):
+        """Expand tokens into scored candidates.
+
+        tok_state/tok_cost: [B, Kn] (the full frontier, or a stride-n stripe
+        of it for the sharded mode — slot j here is global slot
+        slot_base + j*slot_stride, recorded in prevm so tracebacks always
+        carry global slot ids).  Returns (cbits, nsm, prevm, metam, olab).
+        """
         from .gather import onehot_gather
 
-        K, M, E, S = self.K, self.M, self.E, self.S
+        M, S = self.M, self.S
         scale = self.params.acoustic_scale
         pb, mbits = self.pdf_bits, self.mbits
         pdf_mask = jnp.int32((1 << pb) - 1)
-        tok_state, tok_cost = frontier["state"], frontier["cost"]  # [B, K]
-        B = tok_state.shape[0]
+        B, Kn = tok_state.shape
+        En = Kn * M
 
-        rows = self.em_pack[tok_state]  # [B, K, 3M or 4M] row gather
-        w = rows[:, :, :M].reshape(B, E)
-        nsf = jax.lax.bitcast_convert_type(rows[:, :, M : 2 * M], jnp.int32).reshape(B, E)
-        meta = jax.lax.bitcast_convert_type(rows[:, :, 2 * M : 3 * M], jnp.int32).reshape(B, E)
+        rows = self.em_pack[tok_state]  # [B, Kn, 3M or 4M] row gather
+        w = rows[:, :, :M].reshape(B, En)
+        nsf = jax.lax.bitcast_convert_type(rows[:, :, M : 2 * M], jnp.int32).reshape(B, En)
+        meta = jax.lax.bitcast_convert_type(rows[:, :, 2 * M : 3 * M], jnp.int32).reshape(B, En)
         olab_sep = None
         if not self.ol_in_meta:
             olab_sep = jax.lax.bitcast_convert_type(
                 rows[:, :, 3 * M : 4 * M], jnp.int32
-            ).reshape(B, E)
+            ).reshape(B, En)
         pdf = meta & pdf_mask
         ac = onehot_gather(ll, pdf)
         cost = jnp.repeat(tok_cost, M, axis=1) + w - scale * ac
         mask = jnp.isfinite(w)
 
+        e_ids = np.arange(En, dtype=np.int32)
+        prevm_c = jnp.asarray(
+            (((e_ids // M) * slot_stride + slot_base) << mbits) | (e_ids % M)
+        )
         nsm = jnp.where(mask, nsf, S)
         cbits = jnp.where(mask, self._cost_bits(cost), BIG_I32)
-        prevm = jnp.broadcast_to(self._prevm_const, (B, E))
+        prevm = jnp.broadcast_to(prevm_c, (B, En))
         metam = jnp.where(mask, meta, 0)
+        olab = None if olab_sep is None else jnp.where(mask, olab_sep, 0)
+        return cbits, nsm, prevm, metam, olab
+
+    def _finish_from_candidates(self, frontier, cands, valid):
+        """Selection + records + eps rounds from a scored candidate pool."""
+        from .gather import onehot_gather
+
+        K, S = self.K, self.S
+        pb, mbits = self.pdf_bits, self.mbits
+        pdf_mask = jnp.int32((1 << pb) - 1)
+        tok_state, tok_cost = frontier["state"], frontier["cost"]
+        B = tok_state.shape[0]
+        cbits, nsm, prevm, metam, olab_sep = cands
 
         kbits, nsf_k, pays_k, lat_prefix = self._select_v3(
-            cbits, nsm, prevm, metam,
-            None if olab_sep is None else jnp.where(mask, olab_sep, 0),
+            cbits, nsm, prevm, metam, olab_sep
         )
         new_cost = self._bits_cost(kbits)
         keep = (kbits < BIG_I32) & (
@@ -948,6 +978,118 @@ class BatchViterbi:
         if valid is None:
             valid = jnp.ones(loglikes.shape[:2], bool)
         return self._decode_jit(self.tables, frontier, loglikes, valid)
+
+    # ------------------------------------------------- sharded-frontier mode
+
+    def _frame_step_sharded(self, frontier, ll, valid, axis: str, shard_slack: int):
+        """One frame with the expansion phase sharded over mesh axis `axis`
+        (utterance/search sharding — BASELINE.md north star; the reference
+        has no equivalent, its scale-out is process-level).
+
+        Each shard expands a round-robin stripe of the cost-sorted frontier
+        (stripe i holds every n-th token by cost rank, so shards stay
+        balanced), scores its E/n candidates, prunes them against the
+        GLOBALLY synced beam threshold (pmin collective over `axis`), and
+        contributes its best shard_slack*K/n candidates; an all_gather
+        merges the contributions and the regular selection/dedup/lattice/
+        eps machinery runs on the merged pool.  Identical to single-device
+        decoding whenever no shard has more than shard_slack*K/n candidates
+        inside the global beam (striping makes shares ~K/n; the parity test
+        asserts exact equality).
+        """
+        n = jax.lax.axis_size(axis)
+        i = jax.lax.axis_index(axis)
+        B = frontier["state"].shape[0]
+        K = self.K
+        assert K % n == 0, "sharded mode needs max_active % n_shards == 0"
+        Kn = K // n
+
+        # round-robin stripe: this shard expands global slots g = j*n + i
+        def stripe(x):
+            return jax.lax.dynamic_index_in_dim(
+                x.reshape(B, Kn, n), i, axis=2, keepdims=False
+            )
+
+        tok_state = stripe(frontier["state"])
+        tok_cost = stripe(frontier["cost"])
+        cbits, nsm, prevm, metam, olab = self._expand_candidates(
+            tok_state, tok_cost, ll, slot_base=i, slot_stride=n
+        )
+
+        # synced beam threshold: the pmin collective (global best cost)
+        local_best = jnp.min(cbits, axis=1)  # [B] order-encoded
+        global_best = jax.lax.pmin(local_best, axis)
+        thresh = self._cost_bits(self._bits_cost(global_best) + self.params.beam)
+        inside = cbits <= thresh[:, None]
+        cbits = jnp.where(inside, cbits, BIG_I32)
+
+        # per-shard contribution: best C candidates by cost
+        C = min(cbits.shape[1], shard_slack * Kn)
+        ops = (cbits, nsm, prevm, metam) + (() if olab is None else (olab,))
+        sL = jax.lax.sort(ops, num_keys=1, dimension=1)
+        contrib = tuple(x[:, :C] for x in sL)
+        merged = tuple(
+            jax.lax.all_gather(x, axis, axis=1, tiled=True) for x in contrib
+        )
+        cands = merged + (None,) if olab is None else merged
+        return self._finish_from_candidates(frontier, cands, valid)
+
+    def decode_chunk_sharded(self, mesh, frontier, loglikes, valid=None,
+                             axis: str = "model", shard_slack: int = 2):
+        """decode_chunk with the expansion phase sharded over `axis` of
+        `mesh` (channels stay sharded over "data").  Outputs match
+        decode_chunk exactly when no shard overflows its contribution
+        budget (tests/test_multichip.py asserts this)."""
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            from jax import shard_map  # jax >= 0.8
+        except ImportError:
+            from jax.experimental.shard_map import shard_map  # type: ignore
+
+        if valid is None:
+            valid = jnp.ones(loglikes.shape[:2], bool)
+        key = (id(mesh), axis, shard_slack)
+        if getattr(self, "_sharded_key", None) != key:
+            rep = P()
+            dat = P("data")
+
+            def body(tables, frontier, loglikes, valid):
+                saved = {k: getattr(self, k) for k in tables}
+                try:
+                    for k, v in tables.items():
+                        setattr(self, k, v)
+
+                    def step(car, xs):
+                        ll, v = xs
+                        return self._frame_step_sharded(
+                            car, ll, v, axis, shard_slack
+                        )
+
+                    xs = (jnp.swapaxes(loglikes, 0, 1),
+                          jnp.swapaxes(valid, 0, 1))
+                    frontier2, recs = jax.lax.scan(step, frontier, xs)
+                    recs = {k: jnp.swapaxes(v, 0, 1) for k, v in recs.items()}
+                    best = jnp.min(frontier2["cost"], axis=1)
+                    final_tot = frontier2["cost"] + self.final_cost[
+                        frontier2["state"]
+                    ]
+                    return frontier2, recs, best, jnp.min(final_tot, axis=1)
+                finally:
+                    for k, v in saved.items():
+                        setattr(self, k, v)
+
+            self._sharded_jit = jax.jit(
+                shard_map(
+                    body,
+                    mesh=mesh,
+                    in_specs=(rep, dat, dat, dat),
+                    out_specs=(dat, dat, dat, dat),
+                    check_vma=False,
+                )
+            )
+            self._sharded_key = key
+        return self._sharded_jit(self.tables, frontier, loglikes, valid)
 
     # ------------------------------------------------------------ host side
 

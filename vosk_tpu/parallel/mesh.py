@@ -11,9 +11,11 @@ dynamic batcher on GPU (SURVEY §2c); the TPU-native layout is:
     only when an AM exceeds a single chip; XLA inserts the all-reduces.
 
 Beam-search state stays channel-local, so token passing needs no cross-chip
-collectives in the data-parallel regime; synchronized pruning thresholds
-(pmax over shards of one utterance's search) only appear in the sharded-graph
-mode (future work, BASELINE.md north star).
+collectives in the data-parallel regime.  The utterance-sharded search mode
+(BatchViterbi.decode_chunk_sharded) splits each frame's expansion over the
+`model` axis with a pmin-synced global beam threshold and an all_gather
+candidate merge — the synchronized-pruning collectives of the BASELINE.md
+north star; parity vs single-device is tested in tests/test_multichip.py.
 """
 from __future__ import annotations
 
