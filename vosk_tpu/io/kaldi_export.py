@@ -152,6 +152,54 @@ def write_fst_vector(path, fst: StdFst) -> None:
                 f.write(struct.pack("<iifi", il, ol, w, ns))
 
 
+def export_kaldi_split_dir(model: NativeModel, out_dir) -> None:
+    """Write a V2 Kaldi dir in SPLIT-GRAPH form: graph/HCLr.fst +
+    graph/Gr.fst + graph/disambig_tid.int instead of HCLG.fst (the layout
+    the reference loads at model.cc:278-286 and composes at
+    recognizer.cc:33).  Requires the native model to carry its lexicon and
+    word-level G."""
+    import os
+
+    from ..graph.builder import expand_hmm, make_lexicon_fst
+
+    assert model.lexicon is not None and model.g_fst is not None, (
+        "split-graph export needs lexicon + g_fst"
+    )
+    export_kaldi_dir(model, out_dir)
+    p = Path(out_dir)
+    os.remove(p / "graph" / "HCLG.fst")
+
+    num_phones = len(model.phones) - 1
+    tm = build_transition_model(num_phones, model.topology.self_loop_prob)
+    id2pdf = tm.id2pdf()
+    pdf_to_tid = {}
+    for t in range(1, len(id2pdf)):
+        pdf_to_tid.setdefault(int(id2pdf[t]), t)
+
+    # HCLr: HMM-expanded lexicon with tid ilabels and word olabels; a
+    # disambiguation symbol (one past the last transition id) follows every
+    # word-emitting arc, listed in disambig_tid.int for post-composition
+    # removal
+    L = make_lexicon_fst(model.lexicon)
+    H, _ = expand_hmm(L, model.topology, num_phones)
+    dis_tid = len(id2pdf)
+    for s in range(H.num_states):
+        arcs = H.arcs[s]
+        out = []
+        for il, ol, w, ns in arcs:
+            tid = pdf_to_tid[il - 1] if il != 0 else 0
+            if ol != 0:
+                d = H.add_state()
+                out.append((tid, ol, w, d))
+                H.arcs[d] = [(dis_tid, 0, 0.0, ns)]
+            else:
+                out.append((tid, ol, w, ns))
+        H.arcs[s] = out
+    write_fst_vector(p / "graph" / "HCLr.fst", H)
+    write_fst_vector(p / "graph" / "Gr.fst", model.g_fst)
+    (p / "graph" / "disambig_tid.int").write_text(f"{dis_tid}\n")
+
+
 def export_kaldi_dir(model: NativeModel, out_dir) -> None:
     """Write a V2-layout Kaldi model dir (am/ conf/ graph/) from a native
     model (1-state topology models only)."""

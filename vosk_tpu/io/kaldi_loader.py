@@ -21,8 +21,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..graph.fst import SymbolTable, flatten_fst
-from ..graph.optimize import remove_epsilons, split_high_degree
+from ..graph.fst import SymbolTable
 from ..models.am import Nnet3Am
 from ..utils.config import apply_options, read_config_file
 from ..utils.logging import log_info, log_warn
@@ -62,6 +61,8 @@ def load_kaldi_model(path, max_out: int = 16) -> native.NativeModel:
         words_txt = graph_dir / "words.txt"
         hclg = graph_dir / "HCLG.fst"
         hclr = graph_dir / "HCLr.fst"
+        gr = graph_dir / "Gr.fst"
+        disambig_int = graph_dir / "disambig_tid.int"
         cmvn_stats = p / "am" / "global_cmvn.stats"
     else:
         mdl = p / "final.mdl"
@@ -71,6 +72,8 @@ def load_kaldi_model(path, max_out: int = 16) -> native.NativeModel:
         words_txt = p / "words.txt"
         hclg = p / "HCLG.fst"
         hclr = p / "HCLr.fst"
+        gr = p / "Gr.fst"
+        disambig_int = p / "disambig_tid.int"
         cmvn_stats = p / "global_cmvn.stats"
 
     # ---- decode options (reference defaults, model.conf overrides)
@@ -128,28 +131,32 @@ def load_kaldi_model(path, max_out: int = 16) -> native.NativeModel:
         raise FileNotFoundError("Failed to find feature config file")
 
     # ---- graph
+    id2pdf = tm.id2pdf()
+    id2phone = tm.id2phone()
+    hcl_fst = None
+    disambig = []
+    from ..graph.lookahead import (
+        lookahead_compose,
+        prepare_decode_fst,
+        read_disambig_tids,
+    )
+
     if hclg.exists():
         log_info(f"Loading HCLG from {hclg}")
         fst = raw_fst_to_std(read_fst(hclg))
     elif hclr.exists():
-        raise NotImplementedError(
-            "HCLr/Gr lookahead graphs are not supported yet; compile an "
-            "HCLG.fst for this model"
-        )
+        # split-graph models: compose HCLr with Gr at load (the reference
+        # composes lazily with lookahead matchers, recognizer.cc:33)
+        log_info(f"Loading HCL and G from {hclr} {gr}")
+        hcl_fst = raw_fst_to_std(read_fst(hclr))
+        gr_fst = raw_fst_to_std(read_fst(gr))
+        if disambig_int.exists():
+            disambig = read_disambig_tids(disambig_int)
+        fst = lookahead_compose(hcl_fst, gr_fst, disambig)
     else:
         raise FileNotFoundError(f"no decoding graph in {path}")
 
-    id2pdf = tm.id2pdf()
-    id2phone = tm.id2phone()
-    fst = remove_epsilons(fst)
-    import math as _math
-
-    max_deg = max(
-        (sum(1 for a in arcs if a[0] != 0) for arcs in fst.arcs), default=0
-    )
-    if max_deg > max_out:
-        fst = split_high_degree(fst, max_out)
-    graph = flatten_fst(fst, ilabel_to_pdf=id2pdf)
+    graph = prepare_decode_fst(fst, id2pdf, max_out=max_out)
 
     # ---- words
     if words_txt.exists():
@@ -200,6 +207,11 @@ def load_kaldi_model(path, max_out: int = 16) -> native.NativeModel:
         am_override=nnet_am,
     )
     model.ivector = ivector_cfg
+    # split-graph resources retained for runtime grammars (the reference
+    # recomposes HCLr with a phrase-list G, recognizer.cc:60-95)
+    model.hcl_fst = hcl_fst
+    model.disambig_tids = disambig
+    model.tid2pdf = id2pdf
     if model_conf is not None and model_conf.exists():
         raw = read_config_file(model_conf)
         model.silence_weight = float(
@@ -214,6 +226,27 @@ def load_kaldi_model(path, max_out: int = 16) -> native.NativeModel:
 
         log_info(f"Reading CMVN stats from {cmvn_stats}")
         model.global_cmvn_stats = read_kaldi_matrix(cmvn_stats)
+
+    # ---- big-LM rescoring pair (reference model.cc:308-314): binary
+    # const-ARPA G.carpa to ADD, small word-level G.fst to SUBTRACT
+    rescore_dir = p / "rescore"
+    carpa = rescore_dir / "G.carpa"
+    if carpa.exists():
+        from .kaldi_carpa import read_carpa
+
+        log_info(f"Loading CARPA model from {carpa}")
+        model.rescore_lm = read_carpa(carpa)
+        gfst_small = rescore_dir / "G.fst"
+        if gfst_small.exists():
+            log_info(f"Loading subtract G.fst model from {gfst_small}")
+            g = raw_fst_to_std(read_fst(gfst_small))
+            # ReadAndPrepareLmFst semantics: project onto output labels so
+            # the LM is a word acceptor with eps backoff arcs
+            for s in range(g.num_states):
+                g.arcs[s] = [
+                    (ol, ol, w, ns) for (il, ol, w, ns) in g.arcs[s]
+                ]
+            model.g_fst = g
 
     # word-boundary info (reference model.cc:302-306): phone -> position
     # (wbegin/wend/internal/singleton/nonword), used for word alignment

@@ -229,10 +229,13 @@ def read_fst(path) -> RawFst:
                 finals[s] = fw
                 arcs_per_state.append(data)
             return RawFst(start, finals, arcs_per_state)
-        if fst_type in ("const", "ngram"):
+        if fst_type == "ngram":
+            from .ngram_fst import read_ngram_data
+
+            start2, finals, arcs_per_state = read_ngram_data(f, start)
+            return RawFst(start2, finals, arcs_per_state)
+        if fst_type == "const":
             # ConstFst: states array then arcs array
-            if fst_type == "ngram":
-                raise KaldiReadError("NGramFst loading not yet supported")
             # const fst data is 16-byte aligned with a marker in newer versions
             _align(f, 16)
             states = np.frombuffer(f.read(16 * num_states), dtype="<u1").reshape(

@@ -82,7 +82,7 @@ class Finisher:
             # and/or the RNNLM 0.5/0.5 mixture (reference recognizer.cc:680-705)
             from ..graph.arpa import FstLm
 
-            if self._sub_lm is None:
+            if self._sub_lm is None and model.g_fst is not None:
                 self._sub_lm = FstLm(model.g_fst)
             add_lm = model.rescore_lm
             if model.rnnlm is not None:

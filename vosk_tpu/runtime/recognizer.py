@@ -131,9 +131,13 @@ class Recognizer:
     # ------------------------------------------------------------- setup
 
     def _build_grammar_graph(self, grammar: str) -> None:
-        """Runtime phrase-list graph (reference recognizer.cc:49-98; requires
-        a lexicon, the analogue of the HCLr/Gr lookahead models)."""
-        if self.model.lexicon is None:
+        """Runtime phrase-list graph (reference recognizer.cc:49-98).
+
+        Native models recompile L∘G from their lexicon; split-graph Kaldi
+        models (HCLr/Gr) recompose HCLr with a phrase-list G, exactly the
+        reference's LookaheadComposeFst(hcl, g, disambig) path."""
+        hcl_fst = getattr(self.model, "hcl_fst", None)
+        if self.model.lexicon is None and hcl_fst is None:
             log_warn("Runtime graphs are not supported by this model")
             return
         try:
@@ -144,11 +148,20 @@ class Recognizer:
             log_warn(f"Expecting array of strings, got: '{grammar}'")
             return
         g = grammar_to_fst([str(p) for p in phrases], self.model.words.find)
-        graph, info = build_decoding_graph(
-            self.model.lexicon, g, self.model.topology
-        )
-        self.graph = graph
-        self._grammar_info = info
+        if self.model.lexicon is not None:
+            graph, info = build_decoding_graph(
+                self.model.lexicon, g, self.model.topology
+            )
+            self.graph = graph
+            self._grammar_info = info
+        else:
+            from ..graph.lookahead import lookahead_compose, prepare_decode_fst
+
+            fst = lookahead_compose(
+                hcl_fst, g, getattr(self.model, "disambig_tids", [])
+            )
+            self.graph = prepare_decode_fst(fst, self.model.tid2pdf)
+            self._grammar_info = None
 
     def _init_pipeline(self) -> None:
         self._feat_state = self.ex.init_stream_state(1, self.chunk_samples)
