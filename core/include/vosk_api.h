@@ -42,6 +42,9 @@ void vosk_recognizer_set_max_alternatives(VoskRecognizer *recognizer,
 void vosk_recognizer_set_words(VoskRecognizer *recognizer, int words);
 void vosk_recognizer_set_partial_words(VoskRecognizer *recognizer,
                                        int partial_words);
+/* enable per-word start/end times in results (vosk_api.h:248) */
+void vosk_recognizer_set_word_times(VoskRecognizer *recognizer,
+                                    int word_times);
 void vosk_recognizer_set_nlsml(VoskRecognizer *recognizer, int nlsml);
 
 /* returns 1 on endpoint, 0 to continue, -1 on error */

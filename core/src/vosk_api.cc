@@ -195,6 +195,12 @@ void vosk_recognizer_set_words(VoskRecognizer *rec, int v) {
 void vosk_recognizer_set_partial_words(VoskRecognizer *rec, int v) {
   set_int_opt(rec, "SetPartialWords", v);
 }
+void vosk_recognizer_set_word_times(VoskRecognizer *rec, int v) {
+  /* word timing entries ride the words option (the reference documents
+   * vosk_recognizer_set_word_times at vosk_api.h:248 as the switch for the
+   * per-word time fields of result()) */
+  set_int_opt(rec, "SetWords", v);
+}
 void vosk_recognizer_set_nlsml(VoskRecognizer *rec, int v) {
   set_int_opt(rec, "SetNLSML", v);
 }
