@@ -248,6 +248,18 @@ def load_kaldi_model(path, max_out: int = 16) -> native.NativeModel:
                 ]
             model.g_fst = g
 
+    # ---- Kaldi RNNLM dir (reference model.cc:316-339): nnet3 net +
+    # word-feature embedding composition
+    rnnlm_raw = p / "rnnlm" / "final.raw"
+    if rnnlm_raw.exists():
+        from .kaldi_rnnlm import KaldiRnnlmRescorer, read_rnnlm_dir
+
+        log_info(f"Loading RNNLM model from {rnnlm_raw}")
+        try:
+            model.rnnlm_rescorer = KaldiRnnlmRescorer(read_rnnlm_dir(p / "rnnlm"))
+        except Exception as e:  # noqa: BLE001 — unsupported nets warn loudly
+            log_warn(f"RNNLM dir present but not usable: {e}")
+
     # word-boundary info (reference model.cc:302-306): phone -> position
     # (wbegin/wend/internal/singleton/nonword), used for word alignment
     winfo = (

@@ -25,7 +25,9 @@ class Finisher:
     @property
     def rescoring(self) -> bool:
         return self.model.g_fst is not None and (
-            self.model.rescore_lm is not None or self.model.rnnlm is not None
+            self.model.rescore_lm is not None
+            or self.model.rnnlm is not None
+            or getattr(self.model, "rnnlm_rescorer", None) is not None
         )
 
     def paths(
@@ -85,11 +87,16 @@ class Finisher:
             if self._sub_lm is None and model.g_fst is not None:
                 self._sub_lm = FstLm(model.g_fst)
             add_lm = model.rescore_lm
-            if model.rnnlm is not None:
+            kaldi_rnn = getattr(model, "rnnlm_rescorer", None)
+            if model.rnnlm is not None or kaldi_rnn is not None:
                 from ..models.rnnlm import MixtureLm, RnnlmRescorer
 
                 if self._rnn_rescorer is None:
-                    self._rnn_rescorer = RnnlmRescorer(model.rnnlm)
+                    self._rnn_rescorer = (
+                        kaldi_rnn
+                        if kaldi_rnn is not None
+                        else RnnlmRescorer(model.rnnlm)
+                    )
                 if add_lm is not None:
                     add_lm = MixtureLm([(0.5, add_lm), (0.5, self._rnn_rescorer)])
                 else:
