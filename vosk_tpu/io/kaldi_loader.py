@@ -107,6 +107,18 @@ def load_kaldi_model(path, max_out: int = 16) -> native.NativeModel:
             "is missing"
         )
 
+    # ---- pitch (reference model.cc:265-276 adds Kaldi online pitch when
+    # conf/pitch.conf exists); the extractor lives in ops/pitch.py but the
+    # streaming feature-pipeline integration is pending — fail loudly
+    # instead of letting the AM see a wrong feature dim
+    pitch_conf = (p / "conf" / "pitch.conf") if v2 else (p / "pitch.conf")
+    if pitch_conf.exists():
+        raise NotImplementedError(
+            f"{path} uses pitch features ({pitch_conf}); the pitch "
+            "extractor exists (vosk_tpu/ops/pitch.py) but streaming "
+            "pipeline integration is pending"
+        )
+
     # ---- feature config
     feat_cfg: dict
     if mfcc_conf.exists():
