@@ -117,7 +117,9 @@ def run_config(B, states, seconds, max_active, *, realistic, lattice,
 
 
 def main() -> None:
-    B = int(os.environ.get("VOSK_TPU_BENCH_B", "64"))
+    # B=96 is the measured v5e sweet spot at the honest operating point:
+    # 48ch=38, 64ch=48, 96ch=61, 128ch=19 audio-s/s (records spill HBM)
+    B = int(os.environ.get("VOSK_TPU_BENCH_B", "96"))
     states = int(os.environ.get("VOSK_TPU_BENCH_STATES", "2000000"))
     seconds = float(os.environ.get("VOSK_TPU_BENCH_SECONDS", "2"))
     max_active = int(os.environ.get("VOSK_TPU_BENCH_MAX_ACTIVE", "7000"))
