@@ -27,14 +27,79 @@ import jax.numpy as jnp
 import numpy as np
 
 _LANES = 128
+_TILE_ROWS = 32  # index tile = 32 sublanes x 128 lanes per kernel step
+
+
+def _pallas_gather(table_f32: jax.Array, idx: jax.Array,
+                   interpret: bool = False) -> jax.Array:
+    """TPU fast path: per-channel gather as a Pallas kernel.
+
+    The table lives in VMEM as [HI, 128]; for each index tile the kernel
+    statically unrolls over the HI rows, doing one per-sublane lane gather
+    (`take_along_axis(axis=1)` — the 2D gather Mosaic supports natively)
+    plus a select per row.  No HBM intermediates, bit-exact; measured
+    ~0.9 ms for [64, 57k] from [64, 6008] on v5e vs 4.6 ms for the XLA
+    one-hot formulation and 36 ms for take_along_axis.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, P = table_f32.shape
+    N = idx.shape[1]
+    hi_n = (P + _LANES - 1) // _LANES
+    t3 = jnp.pad(table_f32, ((0, 0), (0, hi_n * _LANES - P))).reshape(
+        B, hi_n, _LANES
+    )
+    tile = _TILE_ROWS * _LANES
+    n_pad = (-N) % tile
+    if n_pad:
+        idx = jnp.pad(idx, ((0, 0), (0, n_pad)))
+    idx3 = idx.reshape(B, (N + n_pad) // _LANES, _LANES)
+
+    def kern(tbl_ref, idx_ref, out_ref):
+        tbl = tbl_ref[0]
+        ix = idx_ref[0]
+        hi = ix // _LANES
+        lo = ix % _LANES
+        acc = jnp.zeros(lo.shape, jnp.float32)
+        for h in range(hi_n):  # static unroll: lane gather + select per row
+            row = jnp.broadcast_to(tbl[h, :][None, :], lo.shape)
+            vals = jnp.take_along_axis(row, lo, axis=1)
+            acc = jnp.where(hi == h, vals, acc)
+        out_ref[0] = acc
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(idx3.shape, jnp.float32),
+        grid=(B, (N + n_pad) // tile),
+        in_specs=[
+            pl.BlockSpec((1, hi_n, _LANES), lambda b, n: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TILE_ROWS, _LANES), lambda b, n: (b, n, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _TILE_ROWS, _LANES), lambda b, n: (b, n, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(t3, idx3)
+    return out.reshape(B, N + n_pad)[:, :N]
+
+
+def _tpu_backend() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
 
 
 def onehot_gather(table: jax.Array, idx: jax.Array, chunk: int = 4096) -> jax.Array:
-    """out[b, n] = table[b, idx[b, n]], bit-exact, MXU-based.
+    """out[b, n] = table[b, idx[b, n]], bit-exact.
 
-    table: [B, P] float32 (or int32 with |values| < 2^24, via f32 round-trip
-    — use onehot_gather_i32 for arbitrary int32).  idx: [B, N] int32 in
-    [0, P).  Efficient for P up to ~50k; N arbitrary (chunked internally).
+    On TPU backends this is a Pallas lane-gather kernel (_pallas_gather);
+    elsewhere a two-level one-hot MXU formulation.  table: [B, P] float32
+    (or int32 with |values| < 2^24, via f32 round-trip — use
+    onehot_gather_i32 for arbitrary int32).  idx: [B, N] int32 in [0, P).
+    Efficient for P up to ~50k; N arbitrary (chunked/padded internally).
     """
     squeeze = False
     if table.ndim == 1:
@@ -43,6 +108,11 @@ def onehot_gather(table: jax.Array, idx: jax.Array, chunk: int = 4096) -> jax.Ar
     N = idx.shape[1]
     out_dtype = table.dtype
     tf = table.astype(jnp.float32)
+    if _tpu_backend():
+        out = _pallas_gather(tf, idx)
+        if jnp.issubdtype(out_dtype, jnp.integer):
+            out = out.astype(out_dtype)
+        return out[0] if squeeze else out
     hi_n = (P + _LANES - 1) // _LANES
     t2 = jnp.pad(tf, ((0, 0), (0, hi_n * _LANES - P))).reshape(B, hi_n, _LANES)
 
