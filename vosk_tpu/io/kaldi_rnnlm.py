@@ -131,9 +131,11 @@ class KaldiRnnlmRescorer:
             # evaluate() is same-length (edge-clamped): the row aligned to
             # the last real word sits right_context rows before the end
             last = hid[-1 - self.right_context] if self.right_context else hid[-1]
-            logits = last @ self.lm.word_embedding.T
-            m = logits.max()
-            out = logits - (m + np.log(np.exp(logits - m).sum()))
+            # Kaldi convention (rnnlm-compute-state.cc LogProbOfWord): the
+            # raw unnormalized logit IS the log-prob — sampling-trained
+            # RNNLMs are self-normalized; softmax-normalizing here would
+            # scale costs differently from the reference
+            out = last @ self.lm.word_embedding.T
             self._cache[state] = out
         return out
 

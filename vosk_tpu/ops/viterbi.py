@@ -318,9 +318,14 @@ class BatchViterbi:
         import heapq
 
         g = self.graph
-        costs = {g.start: 0.0}
-        prefix: dict[int, tuple] = {g.start: ()}
-        heap = [(0.0, g.start)]
+        # transformed graphs (graph/arrayopt.py) carry an explicit initial
+        # frontier: the start state's unlabeled-eps closure computed before
+        # those eps arcs were removed
+        seeds = getattr(g, "init_entries", None) or [(g.start, 0.0)]
+        costs = {int(s): float(c) for s, c in seeds}
+        prefix: dict[int, tuple] = {int(s): () for s, _ in seeds}
+        heap = [(float(c), int(s)) for s, c in seeds]
+        heapq.heapify(heap)
         while heap:
             c, s = heapq.heappop(heap)
             if c > costs.get(s, np.inf):
