@@ -328,6 +328,78 @@ def rescore_lattice(
     return out
 
 
+def convert_v4_records(dec, records: List[dict], channel: int) -> List[dict]:
+    """Expand v4 decoder records into the v3 schema build_lattice consumes.
+
+    v4 records ({pm, state, f_cost, lat_pm, lat_cost}, [T, B, ...],
+    ops/viterbi.py:_frame_step_v4) carry no olabel/pdf/next-state planes;
+    this host-side adapter reconstructs them from the decoder's dense arc
+    views, producing one v3-style dict per chunk with [1, T, 1, K/R] arrays
+    (single channel, single level) so existing consumers index [0].
+    """
+    from ..ops.viterbi import PM_IDENT_FLAG, PM_MASK
+
+    mbits = dec.mbits
+    mmask = (1 << mbits) - 1
+    ident = int(PM_IDENT_FLAG)
+    pm_mask = int(PM_MASK)
+    S = dec.S
+    out = []
+    prev_state_row = np.asarray(dec._init_states)
+    for rec in records:
+        pm = np.asarray(rec["pm"][:, channel])  # [T, K]
+        state = np.asarray(rec["state"][:, channel])
+        T, K = pm.shape
+        f_cost = np.asarray(rec["f_cost"][:, channel])
+        lat_pm = np.asarray(rec["lat_pm"][:, channel])  # [T, R]
+        lat_cost = np.asarray(rec["lat_cost"][:, channel])
+        R = lat_pm.shape[1]
+
+        pdf = np.full((T, K), -1, np.int32)
+        olabel = np.zeros((T, K), np.int32)
+        prev = np.zeros((T, K), np.int32)
+        lat_prev = np.full((T, R), -1, np.int32)
+        lat_arc = np.full((T, R), -1, np.int32)
+        lat_ns = np.full((T, R), S, np.int32)
+        for t in range(T):
+            pmv = pm[t]
+            is_id = (pmv & ident) != 0
+            real = (pmv >= 0) & ~is_id
+            p = np.where(pmv >= 0, (pmv & pm_mask) >> mbits, 0)
+            m = pmv & mmask
+            prev[t] = np.where(pmv >= 0, p, -1)
+            src = prev_state_row[p]
+            pdf[t, real] = dec.dense_pdf[src[real], m[real]]
+            olabel[t, real] = dec.dense_olabel[src[real], m[real]]
+
+            lv = lat_pm[t]
+            l_id = (lv & ident) != 0
+            l_real = (lv >= 0) & ~l_id
+            lp = np.where(lv >= 0, (lv & pm_mask) >> mbits, 0)
+            lm = lv & mmask
+            lat_prev[t] = np.where(lv >= 0, lp, -1)
+            lat_arc[t, l_real] = lm[l_real]
+            lsrc = prev_state_row[lp]
+            lat_ns[t, l_real] = dec.dense_next[lsrc[l_real], lm[l_real]]
+            # identity lattice rows (masked frames) mirror the frontier
+            lat_ns[t, l_id & (lv >= 0)] = state[t][lp[l_id & (lv >= 0)]]
+            prev_state_row = state[t]
+        out.append(
+            {
+                "f_state": state[None, :, None, :],
+                "f_cost": f_cost[None, :, None, :],
+                "prev": prev[None, :, None, :],
+                "olabel": olabel[None, :, None, :],
+                "pdf": pdf[None, :, None, :],
+                "lat_ns": lat_ns[None, :, None, :],
+                "lat_prev": lat_prev[None, :, None, :],
+                "lat_arc": lat_arc[None, :, None, :],
+                "lat_cost": lat_cost[None, :, None, :],
+            }
+        )
+    return out
+
+
 def build_lattice(
     records: List[dict],
     frontier,

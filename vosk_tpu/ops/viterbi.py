@@ -50,6 +50,11 @@ TSIL_MASK = jnp.int32((1 << 21) - 1)
 # so epsilon-closure rounds know their sources without a graph lookup
 EPS_NS_FLAG = jnp.int32(1 << 30)
 NS_MASK = jnp.int32((1 << 30) - 1)
+# v4 record pm-plane flags: bit 30 = arc is silence (device-side only, not
+# stored in records), bit 29 = identity carry (masked frame, no arc taken)
+PM_SIL_FLAG = jnp.int32(1 << 30)
+PM_IDENT_FLAG = jnp.int32(1 << 29)
+PM_MASK = jnp.int32((1 << 29) - 1)
 
 
 @dataclasses.dataclass
@@ -79,7 +84,17 @@ class BatchViterbi:
         silence_pdfs=None,
         dedup_slack: float = 2.0,
         eps_budget: int = 1024,
+        frame_step: str = "v3",  # "v3" | "v4" | "auto"
+        pack: str = "auto",      # "exact3" | "packed16" | "auto"
+        optimize_graph: bool = False,
     ):
+        if optimize_graph:
+            # load-time transform: unlabeled-eps removal + pred-dup degree
+            # capping (graph/arrayopt.py).  Min-plus exact; typically leaves
+            # the graph eps-free, enabling the v4 single-phase frame step.
+            from ..graph.arrayopt import prepare_graph_v4
+
+            graph = prepare_graph_v4(graph, M=min(padded_max_out, 8))
         self.graph = graph
         self.params = params
         self.dedup = dedup
@@ -120,6 +135,26 @@ class BatchViterbi:
         self.Eb = max(1, min(K, eps_budget))
         # one-hot gathers of state ids are f32-exact below 2^24
         self._gather_exact_f32 = (S + 1) < (1 << 24)
+
+        # ---- v4 single-phase frame step (requires padded layout, no eps
+        # rounds); "auto" picks v4 whenever eligible
+        if frame_step == "auto":
+            frame_step = (
+                "v4" if (layout == "padded" and self.eps_iters == 0) else "v3"
+            )
+        if frame_step == "v4" and (layout != "padded" or self.eps_iters != 0):
+            raise ValueError(
+                "frame_step='v4' needs the padded layout and an eps-free "
+                "graph (run with optimize_graph=True)"
+            )
+        self.frame_step = frame_step
+        # ---- arc-table pack: packed16 halves the arc-row gather bytes by
+        # quantizing graph weights to float16 (|w| error <= 2^-11 relative;
+        # pdf/sil share the low half-word).  "auto": packed16 for v4 when
+        # the fields fit, else exact3.
+        if pack == "auto":
+            pack = "packed16" if frame_step == "v4" else "exact3"
+        self.pack = pack
 
         # device tables; state-indexed arrays padded so sentinel state S is a
         # zero-out-degree, non-final state.
@@ -267,18 +302,45 @@ class BatchViterbi:
         nsf = np.where(has_eps[nxt], nxt | (1 << 30), nxt).astype(np.int32)
 
         self.pdf_bits = max(int(pdf.max()).bit_length(), 1)
+        if self.pack == "packed16" and self.pdf_bits > 14:
+            self.pack = "exact3"  # pdf doesn't fit beside the f16 weight
         ol_bits = 32 - (self.pdf_bits + 1)
         self.ol_in_meta = int(ola.max()) < (1 << ol_bits)
-        meta = (
-            (sil.astype(np.uint32) << self.pdf_bits) | pdf.astype(np.uint32)
-        )
-        if self.ol_in_meta:
-            meta |= ola.astype(np.uint32) << (self.pdf_bits + 1)
-        planes = [w, nsf.view(np.float32), meta.view(np.int32).view(np.float32)]
-        if not self.ol_in_meta:
-            planes.append(ola.view(np.float32))
-        self.em_pack = jnp.asarray(np.concatenate(planes, axis=1))
-        # host-side dense views for lattice building (arc id = state*M + m)
+        if self.pack == "packed16":
+            # two planes per arc instead of 3-4: the arc-row gather is
+            # byte-bound (measured 12.7 -> 8.9 ms/frame for 3 -> 2 planes
+            # at the honest operating point, tools/mb_select3.py).
+            #   plane1 = f16(w) << 16 | sil << 14 | pdf   (pdf_bits <= 14)
+            #   plane2 = nsf (next state | EPS_NS_FLAG)
+            # olabels are NOT on device: v4 records carry (prev, m) and the
+            # host reconstructs olabel/pdf/w from the dense views below.
+            w16 = w.astype(np.float16).view(np.uint16).astype(np.uint32)
+            p1 = (
+                (w16 << 16)
+                | (sil.astype(np.uint32) << 14)
+                | pdf.astype(np.uint32)
+            ).astype(np.uint32)
+            self.em_pack = jnp.asarray(
+                np.concatenate(
+                    [p1.view(np.int32).view(np.float32),
+                     nsf.view(np.float32)], axis=1,
+                )
+            )
+        else:
+            meta = (
+                (sil.astype(np.uint32) << self.pdf_bits) | pdf.astype(np.uint32)
+            )
+            if self.ol_in_meta:
+                meta |= ola.astype(np.uint32) << (self.pdf_bits + 1)
+            planes = [w, nsf.view(np.float32), meta.view(np.int32).view(np.float32)]
+            if not self.ol_in_meta:
+                planes.append(ola.view(np.float32))
+            self.em_pack = jnp.asarray(np.concatenate(planes, axis=1))
+        # host-side dense views for lattice building (arc id = state*M + m);
+        # packed16 stores the f16-rounded weights so host-reconstructed
+        # graph costs match the device path costs exactly
+        if self.pack == "packed16":
+            w = w.astype(np.float16).astype(np.float32)
         self.dense_w, self.dense_next = w, nxt
         self.dense_pdf, self.dense_olabel = pdf, ola
         # static (prev << mbits | m) vector for candidate slot e = prev*M + m
@@ -720,6 +782,158 @@ class BatchViterbi:
         }
         return new_frontier, records
 
+    # ------------------------------------------------------------- v4 step
+    #
+    # Single-phase frame step for eps-free padded graphs (graphs through
+    # graph/arrayopt.prepare_graph_v4).  Differences vs v3:
+    #   * no epsilon-closure rounds, so exactly ONE record level per frame
+    #   * packed16 2-plane arc rows by default (f16 weights) — the arc-row
+    #     gather is byte-bound
+    #   * records carry only (pm = prev|m, state) [+ lattice planes]; the
+    #     host reconstructs olabel/pdf/weight from the dense views, so no
+    #     olabel/pdf planes are written to HBM per frame
+    #   * records keep the scan-native [T, B, ...] layout (no transpose)
+
+    def _unpack_rows_v4(self, tok_state):
+        """Gather + unpack arc rows: returns (w f32, nsf i32, sil i32,
+        pdf i32), each [B, E]."""
+        M = self.M
+        B, K = tok_state.shape
+        E = K * M
+        rows = self.em_pack[tok_state]  # [B, K, 2M or 3M/4M]
+        if self.pack == "packed16":
+            p1 = jax.lax.bitcast_convert_type(
+                rows[:, :, :M], jnp.int32
+            ).reshape(B, E)
+            nsf = jax.lax.bitcast_convert_type(
+                rows[:, :, M : 2 * M], jnp.int32
+            ).reshape(B, E)
+            w16 = jax.lax.shift_right_logical(p1, 16).astype(jnp.uint16)
+            w = jax.lax.bitcast_convert_type(w16, jnp.float16).astype(
+                jnp.float32
+            )
+            sil = jax.lax.shift_right_logical(p1, 14) & 1
+            pdf = p1 & jnp.int32((1 << 14) - 1)
+            return w, nsf, sil, pdf
+        w = rows[:, :, :M].reshape(B, E)
+        nsf = jax.lax.bitcast_convert_type(
+            rows[:, :, M : 2 * M], jnp.int32
+        ).reshape(B, E)
+        meta = jax.lax.bitcast_convert_type(
+            rows[:, :, 2 * M : 3 * M], jnp.int32
+        ).reshape(B, E)
+        pdf = meta & jnp.int32((1 << self.pdf_bits) - 1)
+        sil = jax.lax.shift_right_logical(meta, self.pdf_bits) & 1
+        return w, nsf, sil, pdf
+
+    def _frame_step_v4(self, frontier, ll, valid):
+        """One whole-batch frame step, v4.  ll: [B, P]; valid: [B] bool.
+        Returns (frontier, records) with records [B?]-free: {pm, state}
+        [B, K] (+ f_cost, lat_pm, lat_cost when lattice_records)."""
+        from .gather import onehot_gather
+
+        K, M, S, R = self.K, self.M, self.S, self.R
+        scale = self.params.acoustic_scale
+        mbits = self.mbits
+        tok_state, tok_cost = frontier["state"], frontier["cost"]
+        B = tok_state.shape[0]
+        E = K * M
+
+        w, nsf, sil, pdf = self._unpack_rows_v4(tok_state)
+        ac = onehot_gather(ll, pdf)
+        cost = jnp.repeat(tok_cost, M, axis=1) + w - scale * ac
+        finite = jnp.isfinite(w)
+        cbits = jnp.where(finite, self._cost_bits(cost), BIG_I32)
+        nsm = jnp.where(finite, nsf & NS_MASK, S)
+        pm = jnp.broadcast_to(self._prevm_const, (B, E)) + (
+            sil.astype(jnp.int32) << 30
+        )
+
+        # one cost-ordered sort; payload planes ride free (measured:
+        # sortA 5-plane == 2-plane, tools/mb_select3.py)
+        sA = jax.lax.sort((cbits, nsm, pm), num_keys=1, dimension=1)
+        if self.lattice_records:
+            lat_cb = sA[0][:, :R] if E >= R else jnp.pad(
+                sA[0], ((0, 0), (0, R - E)), constant_values=BIG_I32
+            )
+            lat_pm = sA[2][:, :R] if E >= R else jnp.pad(
+                sA[2], ((0, 0), (0, R - E)), constant_values=-1
+            )
+
+        # dedup by next state on the cost-ordered top-K2 prefix, then
+        # winners re-ranked by cost (v3 selection semantics)
+        K2 = min(E, self.K2)
+        sub = tuple(x[:, :K2] for x in sA)
+        sB = jax.lax.sort((sub[1], sub[0], sub[2]), num_keys=2, dimension=1)
+        first = jnp.concatenate(
+            [jnp.ones((B, 1), bool), sB[0][:, 1:] != sB[0][:, :-1]], axis=1
+        )
+        alive = first & (sB[0] != S) & (sB[1] < BIG_I32)
+        key = jnp.where(alive, sB[1], BIG_I32)
+        sC = jax.lax.sort((key, sB[0], sB[2]), num_keys=1, dimension=1)
+        if K2 < K:
+            sC = tuple(
+                jnp.concatenate(
+                    [x, jnp.full((B, K - K2), f, x.dtype)], axis=1
+                )
+                for x, f in zip(sC, (BIG_I32, S, -1))
+            )
+        kbits = sC[0][:, :K]
+        new_cost = self._bits_cost(kbits)
+        keep = (kbits < BIG_I32) & (
+            kbits <= self._cost_bits(new_cost[:, :1] + self.params.beam)
+        )
+        new_state = jnp.where(keep, sC[1][:, :K], S)
+        new_cost = jnp.where(keep, new_cost, INF)
+        pm_k = sC[2][:, :K]
+        prev = jax.lax.shift_right_logical(pm_k & PM_MASK, mbits)
+        silk = (pm_k & PM_SIL_FLAG) != 0
+
+        prev_ts = onehot_gather(frontier["tsil"], jnp.where(keep, prev, 0))
+        cand_ts = jnp.where(
+            silk,
+            ((prev_ts & TSIL_MASK) + 1) | (prev_ts & SPEECH_BIT),
+            SPEECH_BIT,
+        )
+        new_tsil = jnp.where(keep, cand_ts, 0)
+
+        vb = valid[:, None]
+        new_frontier = {
+            "state": jnp.where(vb, new_state, tok_state),
+            "cost": jnp.where(vb, new_cost, tok_cost),
+            "tsil": jnp.where(vb, new_tsil, frontier["tsil"]),
+        }
+        slot = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32), (B, K))
+        ident_pm = PM_IDENT_FLAG | (slot << mbits)
+        rec = {
+            "pm": jnp.where(
+                vb, jnp.where(keep, pm_k & PM_MASK, -1), ident_pm
+            ),
+            "state": jnp.where(vb, new_state, tok_state),
+        }
+        if self.lattice_records:
+            lat_cost = self._bits_cost(lat_cb)
+            lkeep = (lat_cb < BIG_I32) & (
+                lat_cost <= new_cost[:, :1] + self.params.lattice_beam
+            )
+            lat_pm_m = jnp.where(lkeep, lat_pm & PM_MASK, -1)
+            lat_cost_m = jnp.where(lkeep, lat_cost, INF)
+            # identity lattice rows keep masked frames connected
+            id_pm = jnp.concatenate(
+                [ident_pm, jnp.full((B, R - K), -1, jnp.int32)], axis=1
+            ) if R > K else ident_pm[:, :R]
+            id_cost = jnp.concatenate(
+                [tok_cost, jnp.full((B, R - K), jnp.inf)], axis=1
+            ) if R > K else tok_cost[:, :R]
+            rec.update(
+                {
+                    "f_cost": jnp.where(vb, new_cost, tok_cost),
+                    "lat_pm": jnp.where(vb, lat_pm_m, id_pm),
+                    "lat_cost": jnp.where(vb, lat_cost_m, id_cost),
+                }
+            )
+        return new_frontier, rec
+
     def _eps_level_batched(self, cur_state, cur_cost, cur_tsil, eflag):
         """One whole-batch epsilon-closure round (v3).
 
@@ -952,7 +1166,9 @@ class BatchViterbi:
 
         def step(car, xs):
             ll, v = xs
-            if self.layout == "padded":
+            if self.frame_step == "v4":
+                f2, rec = self._frame_step_v4(car, ll, v)
+            elif self.layout == "padded":
                 f2, rec = self._frame_step_batched(car, ll, v)
             else:
                 f2, rec = jax.vmap(self._frame_step)(car, ll, v)
@@ -960,8 +1176,11 @@ class BatchViterbi:
 
         xs = (jnp.swapaxes(loglikes, 0, 1), jnp.swapaxes(valid, 0, 1))
         frontier, recs = jax.lax.scan(step, frontier, xs)
-        # recs: [T, B, L, K] -> [B, T, L, K]
-        recs = {k: jnp.swapaxes(v, 0, 1) for k, v in recs.items()}
+        if self.frame_step != "v4":
+            # recs: [T, B, L, K] -> [B, T, L, K]
+            recs = {k: jnp.swapaxes(v, 0, 1) for k, v in recs.items()}
+        # v4 records stay scan-native [T, B, K] — the post-scan transpose
+        # of multi-GB record stacks costs real HBM bandwidth
         best_cost = jnp.min(frontier["cost"], axis=1)
         final_tot = frontier["cost"] + self.final_cost[frontier["state"]]
         best_final_cost = jnp.min(final_tot, axis=1)
@@ -1146,10 +1365,15 @@ class BatchViterbi:
         """Best-path traceback with frame indices.
 
         records: list of per-chunk record pytrees ({prev, olabel, pdf} each
-        [B, T, L, K]).  Returns (cost, [(olabel, frame_idx)], pdf alignment)
-        where frame_idx counts *valid decoded frames* from utterance start
-        (identity records of masked frames don't count).
+        [B, T, L, K]; v4: {pm, state} each [T, B, K]).  Returns
+        (cost, [(olabel, frame_idx)], pdf alignment) where frame_idx counts
+        *valid decoded frames* from utterance start (identity records of
+        masked frames don't count).
         """
+        if records and "pm" in records[0]:
+            return self._traceback_v4(
+                records, frontier, channel, use_final, at_start
+            )
         state = np.asarray(frontier["state"][channel])
         cost = np.asarray(frontier["cost"][channel])
         fc = np.asarray(self.final_cost)[state]
@@ -1197,4 +1421,66 @@ class BatchViterbi:
             for ol in reversed(self._init_prefixes[slot]):
                 ols_frames.append((ol, 0))
         ols_frames.reverse()
+        return best_cost, ols_frames, pdfs
+
+    def _traceback_v4(
+        self, records, frontier, channel, use_final=True, at_start=True
+    ):
+        """Best-path traceback for v4 records ({pm, state} each [T, B, K]).
+
+        olabel/pdf/weight come from the host dense views keyed by
+        (source state, arc slot m); the device never writes them."""
+        state = np.asarray(frontier["state"][channel])
+        cost = np.asarray(frontier["cost"][channel])
+        fc = np.asarray(self.final_cost)[state]
+        tot = cost + fc
+        if use_final and np.isfinite(tot).any():
+            slot = int(np.argmin(tot))
+            best_cost = float(tot[slot])
+        else:
+            slot = int(np.argmin(cost))
+            best_cost = float(cost[slot])
+        if not np.isfinite(cost[slot]):
+            return np.inf, [], []
+
+        pm_fr, st_fr = [], []
+        for rec in records:
+            pm = np.asarray(rec["pm"][:, channel])  # [T, K]
+            st = np.asarray(rec["state"][:, channel])
+            for t in range(pm.shape[0]):
+                pm_fr.append(pm[t])
+                st_fr.append(st[t])
+
+        mmask = (1 << self.mbits) - 1
+        ident = int(PM_IDENT_FLAG)
+        steps: list[tuple[int, int, int]] = []  # (t, prev, m), backwards
+        for t in range(len(pm_fr) - 1, -1, -1):
+            pmv = int(pm_fr[t][slot])
+            if pmv < 0:
+                return best_cost, [], []
+            if pmv & ident:
+                slot = (pmv & int(PM_MASK)) >> self.mbits
+                continue
+            prev = pmv >> self.mbits
+            steps.append((t, prev, pmv & mmask))
+            slot = prev
+        steps.reverse()
+
+        ols_frames: list[tuple[int, int]] = []
+        pdfs: list[int] = []
+        for fidx, (t, prev, m) in enumerate(steps):
+            # source state of the arc: the prev slot's state one frame back
+            if t > 0:
+                src_state = int(st_fr[t - 1][prev])
+            else:
+                src_state = int(self._init_states[prev])
+            pdfs.append(int(self.dense_pdf[src_state, m]))
+            ol = int(self.dense_olabel[src_state, m])
+            if ol:
+                ols_frames.append((ol, fidx))
+        if at_start and 0 <= slot < len(self._init_prefixes):
+            prefix = [
+                (ol, 0) for ol in self._init_prefixes[slot]
+            ]
+            ols_frames = prefix + ols_frames
         return best_cost, ols_frames, pdfs
