@@ -57,6 +57,7 @@ def run_config(B, states, seconds, max_active, *, realistic, lattice,
         batch=B,
         collect_records=lattice,
         lattice_records=lattice,
+        frame_step=os.environ.get("VOSK_TPU_BENCH_STEP", "auto"),
     )
     S = pipe.chunk_samples
     n_chunks = int(seconds * model.config.sample_rate) // S
@@ -108,7 +109,8 @@ def run_config(B, states, seconds, max_active, *, realistic, lattice,
     best_h = np.asarray(best)
     if recs is not None and lattice:
         last = recs[-1] if isinstance(recs, list) else recs
-        np.asarray(last["prev"][-1, :, -1, 0, :8])  # witness: records exist
+        wk = "pm" if "pm" in last else "prev"  # v4 vs v3 record schema
+        np.asarray(last[wk].reshape(-1)[:8])  # witness: records exist
     dt = time.perf_counter() - t0
 
     audio_seconds = n_chunks * B * (S / model.config.sample_rate)

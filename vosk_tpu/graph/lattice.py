@@ -328,7 +328,9 @@ def rescore_lattice(
     return out
 
 
-def convert_v4_records(dec, records: List[dict], channel: int) -> List[dict]:
+def convert_v4_records(
+    dec, records: List[dict], channel: int, init_states=None
+) -> List[dict]:
     """Expand v4 decoder records into the v3 schema build_lattice consumes.
 
     v4 records ({pm, state, f_cost, lat_pm, lat_cost}, [T, B, ...],
@@ -336,6 +338,10 @@ def convert_v4_records(dec, records: List[dict], channel: int) -> List[dict]:
     this host-side adapter reconstructs them from the decoder's dense arc
     views, producing one v3-style dict per chunk with [1, T, 1, K/R] arrays
     (single channel, single level) so existing consumers index [0].
+
+    init_states: state row [K] just before the records' first frame, when
+    the records do not start at utterance start (fold boundary); defaults
+    to the decoder's initial closure.
     """
     from ..ops.viterbi import PM_IDENT_FLAG, PM_MASK
 
@@ -345,7 +351,9 @@ def convert_v4_records(dec, records: List[dict], channel: int) -> List[dict]:
     pm_mask = int(PM_MASK)
     S = dec.S
     out = []
-    prev_state_row = np.asarray(dec._init_states)
+    prev_state_row = np.asarray(
+        init_states if init_states is not None else dec._init_states
+    )
     for rec in records:
         pm = np.asarray(rec["pm"][:, channel])  # [T, K]
         state = np.asarray(rec["state"][:, channel])
@@ -418,6 +426,12 @@ def build_lattice(
     Returns (lattice, final_slot->node map is internal; lattice final costs
     already set).
     """
+    if records and "pm" in records[0]:
+        records = convert_v4_records(
+            dec, records, channel,
+            init_states=None if init_override is None else init_override[0],
+        )
+        channel = 0
     graph = dec.graph
     em_olabel, em_w = graph.em_olabel, graph.em_w
     em_pdf = graph.em_pdf

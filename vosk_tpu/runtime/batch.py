@@ -47,6 +47,10 @@ class BatchPipeline:
         self.rules = model.endpoint_rules()
         self.ex = model.feature_extractor()
         self.am = model.make_am()
+        # frame_step "auto": eps-free graphs (after the exact load-time
+        # transforms) take the v4 single-phase frame step — the production
+        # throughput path; records start at utterance start per segment so
+        # the host-side v4 record adapters apply directly
         self.dec = BatchViterbi(
             model.graph,
             DecodeParams(
@@ -57,6 +61,8 @@ class BatchPipeline:
             ),
             silence_pdfs=model.silence_pdfs,
             lattice_records=True,
+            frame_step="auto",
+            optimize_graph=True,
         )
         from .finishing import Finisher
 

@@ -124,6 +124,15 @@ def nbest_native(
     if lib is None or not records:
         return None
 
+    if "pm" in records[0]:
+        from ..graph.lattice import convert_v4_records
+
+        records = convert_v4_records(
+            dec, records, channel,
+            init_states=None if init_override is None else init_override[0],
+        )
+        channel = 0
+
     dtypes = {
         "f_state": np.int32,
         "f_cost": np.float32,

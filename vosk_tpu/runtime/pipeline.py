@@ -31,11 +31,18 @@ class FusedPipeline:
         expand_budget: Optional[int] = None,
         lattice_records: bool = False,
         lattice_budget: Optional[int] = None,
+        frame_step: str = "auto",
+        optimize_graph: Optional[bool] = None,
     ):
         self.model = model
         self.B = batch
         self.ex = model.feature_extractor()
         self.am = model.make_am()
+        if optimize_graph is None:
+            # default: run the exact load-time transforms (eps removal +
+            # degree capping) so eligible graphs take the v4 single-phase
+            # frame step — the production fast path
+            optimize_graph = frame_step in ("auto", "v4")
         self.dec = BatchViterbi(
             model.graph,
             DecodeParams(
@@ -48,6 +55,8 @@ class FusedPipeline:
             lattice_records=lattice_records,
             lattice_budget=lattice_budget,
             silence_pdfs=model.silence_pdfs,
+            frame_step=frame_step,
+            optimize_graph=optimize_graph,
         )
         self.rate = model.config.sample_rate
         self.chunk_samples = int(chunk_seconds * self.rate)
