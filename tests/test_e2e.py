@@ -349,20 +349,27 @@ def test_resampled_input(model):
         parts += [tone8(ph) for ph in toydata.WORD_PHONES[w]]
         parts.append(tone8(toydata.SIL_PHONE))
     wav8 = _np.concatenate(parts)
+    wav8_i16 = _np.clip(wav8, -32768, 32767).astype("<i2")
     rec = vosk_tpu.KaldiRecognizer(model, 8000)
-    rec.AcceptWaveform(_np.clip(wav8, -32768, 32767).astype("<i2").tobytes())
+    rec.AcceptWaveform(wav8_i16.tobytes())
     res = json.loads(rec.FinalResult())
-    # exactness anchor: a 16 kHz recognizer fed the SAME audio upsampled
-    # through the same band-limited resampler must produce the identical
-    # text — so any insertion/deletion the 8 kHz input path introduces
-    # (vs. straight 16 kHz) is caught, not masked by a subsequence check
+    # exactness anchor: a 16 kHz recognizer fed BIT-IDENTICAL float samples
+    # to what the 8 kHz input path produces internally (offline resample of
+    # the same int16 wave; StreamingResampler==resample_offline is asserted
+    # bit-exact in test_resample.py) must produce identical text — any
+    # insertion/deletion the streaming resampled-input path introduces is
+    # caught deterministically.  The anchor is fed FLOATS via the
+    # accept_waveform_f-style path (reference vosk_api.h:239-247): an int16
+    # re-quantization of the anchor audio would perturb samples by <=1 LSB,
+    # which the sharply-trained toy AM amplifies past word boundaries —
+    # equality through a lossy re-quantization would hold only by luck.
     from vosk_tpu.ops.resample import resample_offline
 
-    wav16 = _np.asarray(resample_offline(wav8, rate8, 16000))
-    rec16 = vosk_tpu.KaldiRecognizer(model, 16000)
-    rec16.AcceptWaveform(
-        _np.clip(wav16, -32768, 32767).astype("<i2").tobytes()
+    wav16 = _np.asarray(
+        resample_offline(wav8_i16.astype(_np.float32), rate8, 16000)
     )
+    rec16 = vosk_tpu.KaldiRecognizer(model, 16000)
+    rec16.AcceptWaveform(wav16)
     ref = json.loads(rec16.FinalResult())
     assert res["text"] == ref["text"], (res["text"], ref["text"])
     # and the spoken words themselves must be present in order

@@ -137,3 +137,41 @@ def test_v4_lattice_adapter_matches_v3():
     assert len(nb3) == len(nb4)
     for (ca, _), (cb, _) in zip(nb3, nb4):
         assert cb == pytest.approx(ca, rel=1e-5)
+
+
+def test_v4_lattice_multichannel():
+    """build_lattice fed RAW (unconverted) v4 records must produce each
+    channel's own lattice — incl. FINAL COSTS read from that channel's
+    frontier row, not stream 0's (the BatchPipeline.finalize path passes
+    channels up to B-1 straight into build_lattice)."""
+    from vosk_tpu.graph.lattice import build_lattice
+
+    _, g = _mk(3, hub=True)
+    rng = np.random.default_rng(321)
+    B, T = 3, 14
+    # different audio per channel -> different lattices and finals
+    ll = rng.standard_normal((B, T, 6)).astype(np.float32) * 2
+    params = DecodeParams(beam=9.0, max_active=16, lattice_beam=6.0)
+
+    d4 = BatchViterbi(g, params, frame_step="v4", pack="exact3",
+                      lattice_records=True, padded_max_out=64)
+    f4 = d4.init_frontier(B)
+    f4, r4, _, _ = d4.decode_chunk(f4, ll)
+
+    d3 = BatchViterbi(g, params, frame_step="v3", lattice_records=True,
+                      padded_max_out=64, layout="padded")
+    for ch in range(B):
+        lat4, _ = build_lattice([r4], f4, ch, d4)  # raw records: ch>0 path
+        # per-channel v3 oracle decoded alone (batch of 1)
+        f3 = d3.init_frontier(1)
+        f3, r3, _, _ = d3.decode_chunk(f3, ll[ch : ch + 1])
+        lat3, _ = build_lattice([r3], f3, 0, d3)
+        c4, p4 = lat4.shortest()
+        c3, p3 = lat3.shortest()
+        assert c4 == pytest.approx(c3, rel=1e-5), f"ch={ch}"
+        w4 = [w for w, _, _ in lat4.path_words(p4)]
+        w3 = [w for w, _, _ in lat3.path_words(p3)]
+        assert w4 == w3, f"ch={ch}"
+        # final-cost isolation: this channel must have reachable finals of
+        # its own (shortest() above already proves end-to-end reachability)
+        assert np.isfinite(lat4.final).any(), f"ch={ch}"

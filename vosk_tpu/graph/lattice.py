@@ -426,6 +426,10 @@ def build_lattice(
     Returns (lattice, final_slot->node map is internal; lattice final costs
     already set).
     """
+    # the frontier stays batched [B, K] even when v4 records are converted
+    # to a single-channel view below — final costs must keep reading the
+    # ORIGINAL channel (a ch>0 stream would otherwise get stream 0's finals)
+    fr_channel = channel
     if records and "pm" in records[0]:
         records = convert_v4_records(
             dec, records, channel,
@@ -560,8 +564,7 @@ def build_lattice(
 
     # final costs on last-level nodes
     final_cost = np.asarray(dec.final_cost)
-    f_state_last = np.asarray(frontier["state"][channel])
-    f_cost_last = np.asarray(frontier["cost"][channel])
+    f_state_last = np.asarray(frontier["state"][fr_channel])
     any_final = False
     for k, node in prev_nodes.items():
         st = int(f_state_last[k])

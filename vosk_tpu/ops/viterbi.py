@@ -826,18 +826,18 @@ class BatchViterbi:
         sil = jax.lax.shift_right_logical(meta, self.pdf_bits) & 1
         return w, nsf, sil, pdf
 
-    def _frame_step_v4(self, frontier, ll, valid):
-        """One whole-batch frame step, v4.  ll: [B, P]; valid: [B] bool.
-        Returns (frontier, records) with records [B?]-free: {pm, state}
-        [B, K] (+ f_cost, lat_pm, lat_cost when lattice_records)."""
+    def _expand_v4(self, tok_state, tok_cost, ll, slot_base=0, slot_stride=1):
+        """v4 expansion: tokens -> scored candidates (cbits, nsm, pm), each
+        [B, Kn*M].  tok_state/tok_cost may be a stride-n stripe of the
+        frontier (sharded mode): local slot j is global slot
+        slot_base + j*slot_stride, and pm always carries GLOBAL slot ids so
+        tracebacks work unchanged."""
         from .gather import onehot_gather
 
-        K, M, S, R = self.K, self.M, self.S, self.R
+        M, S = self.M, self.S
         scale = self.params.acoustic_scale
-        mbits = self.mbits
-        tok_state, tok_cost = frontier["state"], frontier["cost"]
-        B = tok_state.shape[0]
-        E = K * M
+        B, Kn = tok_state.shape
+        En = Kn * M
 
         w, nsf, sil, pdf = self._unpack_rows_v4(tok_state)
         ac = onehot_gather(ll, pdf)
@@ -845,13 +845,41 @@ class BatchViterbi:
         finite = jnp.isfinite(w)
         cbits = jnp.where(finite, self._cost_bits(cost), BIG_I32)
         nsm = jnp.where(finite, nsf & NS_MASK, S)
-        pm = jnp.broadcast_to(self._prevm_const, (B, E)) + (
-            sil.astype(jnp.int32) << 30
-        )
+        if (isinstance(slot_base, int) and slot_base == 0
+                and slot_stride == 1 and En == self.E):
+            pm_c = self._prevm_const
+        else:
+            # slot_base may be a traced axis_index in sharded mode
+            e_ids = jnp.arange(En, dtype=jnp.int32)
+            pm_c = (
+                ((e_ids // M) * slot_stride + slot_base) << self.mbits
+            ) | (e_ids % M)
+        pm = jnp.broadcast_to(pm_c, (B, En)) + (sil.astype(jnp.int32) << 30)
+        return cbits, nsm, pm
 
+    def _frame_step_v4(self, frontier, ll, valid):
+        """One whole-batch frame step, v4.  ll: [B, P]; valid: [B] bool.
+        Returns (frontier, records) with records [B?]-free: {pm, state}
+        [B, K] (+ f_cost, lat_pm, lat_cost when lattice_records)."""
+        cbits, nsm, pm = self._expand_v4(
+            frontier["state"], frontier["cost"], ll
+        )
         # one cost-ordered sort; payload planes ride free (measured:
         # sortA 5-plane == 2-plane, tools/mb_select3.py)
         sA = jax.lax.sort((cbits, nsm, pm), num_keys=1, dimension=1)
+        return self._select_v4(frontier, sA, valid)
+
+    def _select_v4(self, frontier, sA, valid):
+        """v4 selection from a cost-ordered candidate pool sA = (cbits, nsm,
+        pm), each [B, P_pool] (P_pool = E whole-batch, n*C sharded)."""
+        from .gather import onehot_gather
+
+        K, S, R = self.K, self.S, self.R
+        mbits = self.mbits
+        tok_state, tok_cost = frontier["state"], frontier["cost"]
+        B = tok_state.shape[0]
+        E = sA[0].shape[1]  # candidate pool size
+
         if self.lattice_records:
             lat_cb = sA[0][:, :R] if E >= R else jnp.pad(
                 sA[0], ((0, 0), (0, R - E)), constant_values=BIG_I32
@@ -1258,6 +1286,46 @@ class BatchViterbi:
         cands = merged + (None,) if olab is None else merged
         return self._finish_from_candidates(frontier, cands, valid)
 
+    def _frame_step_v4_sharded(self, frontier, ll, valid, axis: str,
+                               shard_slack: int):
+        """v4 variant of `_frame_step_sharded`: the single-phase expansion is
+        striped over mesh axis `axis`, the beam threshold is synced with a
+        pmin collective, each shard contributes its best shard_slack*K/n
+        candidates, and `_select_v4` runs on the all_gather-merged pool.
+        Exact vs `_frame_step_v4` whenever no shard overflows its
+        contribution budget (tests/test_multichip.py asserts equality)."""
+        n = jax.lax.axis_size(axis)
+        i = jax.lax.axis_index(axis)
+        B = frontier["state"].shape[0]
+        K = self.K
+        assert K % n == 0, "sharded mode needs max_active % n_shards == 0"
+        Kn = K // n
+
+        def stripe(x):
+            return jax.lax.dynamic_index_in_dim(
+                x.reshape(B, Kn, n), i, axis=2, keepdims=False
+            )
+
+        cbits, nsm, pm = self._expand_v4(
+            stripe(frontier["state"]), stripe(frontier["cost"]), ll,
+            slot_base=i, slot_stride=n,
+        )
+
+        # globally synced beam threshold (pmin over the search axis)
+        local_best = jnp.min(cbits, axis=1)
+        global_best = jax.lax.pmin(local_best, axis)
+        thresh = self._cost_bits(self._bits_cost(global_best) + self.params.beam)
+        cbits = jnp.where(cbits <= thresh[:, None], cbits, BIG_I32)
+
+        C = min(cbits.shape[1], shard_slack * Kn)
+        sL = jax.lax.sort((cbits, nsm, pm), num_keys=1, dimension=1)
+        merged = tuple(
+            jax.lax.all_gather(x[:, :C], axis, axis=1, tiled=True) for x in sL
+        )
+        # merged pool = n sorted segments; one sort restores global cost order
+        sA = jax.lax.sort(merged, num_keys=1, dimension=1)
+        return self._select_v4(frontier, sA, valid)
+
     def decode_chunk_sharded(self, mesh, frontier, loglikes, valid=None,
                              axis: str = "model", shard_slack: int = 2):
         """decode_chunk with the expansion phase sharded over `axis` of
@@ -1284,11 +1352,15 @@ class BatchViterbi:
                     for k, v in tables.items():
                         setattr(self, k, v)
 
+                    fstep = (
+                        self._frame_step_v4_sharded
+                        if self.frame_step == "v4"
+                        else self._frame_step_sharded
+                    )
+
                     def step(car, xs):
                         ll, v = xs
-                        return self._frame_step_sharded(
-                            car, ll, v, axis, shard_slack
-                        )
+                        return fstep(car, ll, v, axis, shard_slack)
 
                     xs = (jnp.swapaxes(loglikes, 0, 1),
                           jnp.swapaxes(valid, 0, 1))
@@ -1344,13 +1416,14 @@ class BatchViterbi:
         channel: int,
         use_final: bool = True,
         at_start: bool = True,
+        init_states=None,
     ) -> tuple[float, list[int], list[int]]:
         """Best-path traceback on host.
 
         Returns (cost, olabels, per-frame pdf alignment).
         """
         cost, ols_frames, pdfs = self.traceback_with_frames(
-            records, frontier, channel, use_final, at_start
+            records, frontier, channel, use_final, at_start, init_states
         )
         return cost, [o for o, _ in ols_frames], pdfs
 
@@ -1361,6 +1434,7 @@ class BatchViterbi:
         channel: int,
         use_final: bool = True,
         at_start: bool = True,
+        init_states=None,
     ) -> tuple[float, list[tuple[int, int]], list[int]]:
         """Best-path traceback with frame indices.
 
@@ -1369,10 +1443,16 @@ class BatchViterbi:
         (cost, [(olabel, frame_idx)], pdf alignment) where frame_idx counts
         *valid decoded frames* from utterance start (identity records of
         masked frames don't count).
+
+        init_states: [K] graph states of the frontier PRECEDING records[0]
+        — required for v4 records when at_start=False (fold-boundary
+        anchoring: the first frame's arc sources live in that frontier, not
+        in the utterance-initial closure).  v3 records carry olabel/pdf
+        inline and ignore it.
         """
         if records and "pm" in records[0]:
             return self._traceback_v4(
-                records, frontier, channel, use_final, at_start
+                records, frontier, channel, use_final, at_start, init_states
             )
         state = np.asarray(frontier["state"][channel])
         cost = np.asarray(frontier["cost"][channel])
@@ -1424,12 +1504,23 @@ class BatchViterbi:
         return best_cost, ols_frames, pdfs
 
     def _traceback_v4(
-        self, records, frontier, channel, use_final=True, at_start=True
+        self, records, frontier, channel, use_final=True, at_start=True,
+        init_states=None,
     ):
         """Best-path traceback for v4 records ({pm, state} each [T, B, K]).
 
         olabel/pdf/weight come from the host dense views keyed by
-        (source state, arc slot m); the device never writes them."""
+        (source state, arc slot m); the device never writes them.
+        init_states anchors frame 0's arc sources at a fold boundary
+        (at_start=False); required there because v4 records don't carry
+        olabel/pdf planes the way v3 records do."""
+        if init_states is None:
+            if not at_start:
+                raise ValueError(
+                    "v4 traceback with at_start=False needs init_states "
+                    "(the fold-boundary frontier's state row)"
+                )
+            init_states = self._init_states
         state = np.asarray(frontier["state"][channel])
         cost = np.asarray(frontier["cost"][channel])
         fc = np.asarray(self.final_cost)[state]
@@ -1473,7 +1564,7 @@ class BatchViterbi:
             if t > 0:
                 src_state = int(st_fr[t - 1][prev])
             else:
-                src_state = int(self._init_states[prev])
+                src_state = int(init_states[prev])
             pdfs.append(int(self.dense_pdf[src_state, m]))
             ol = int(self.dense_olabel[src_state, m])
             if ol:

@@ -57,26 +57,26 @@ def align(ref: Sequence[str], hyp: Sequence[str]) -> WerCounts:
     """Minimum-edit-distance alignment counts for one sentence (unit costs,
     the Kaldi compute-wer convention)."""
     R, H = len(ref), len(hyp)
-    # dp over (dist, subs, dels, ins); ties broken by fewer ins+dels to
-    # match compute-wer's preference for substitutions
+    # dp over (dist, dels+ins, subs, dels, ins): equal-distance ties prefer
+    # FEWER del/ins (i.e. substitution alignments), matching compute-wer
     INF = 1 << 30
-    prev = [(j, 0, 0, j) for j in range(H + 1)]
+    prev = [(j, j, 0, 0, j) for j in range(H + 1)]
     for i in range(1, R + 1):
-        cur = [(i, 0, i, 0)] + [(INF, 0, 0, 0)] * H
+        cur = [(i, i, 0, i, 0)] + [(INF, 0, 0, 0, 0)] * H
         ri = ref[i - 1]
         for j in range(1, H + 1):
             d_sub = prev[j - 1]
-            same = ri == hyp[j - 1]
+            e = 0 if ri == hyp[j - 1] else 1
             cand = [
-                (d_sub[0] + (0 if same else 1), d_sub[1] + (0 if same else 1),
-                 d_sub[2], d_sub[3]),
-                (prev[j][0] + 1, prev[j][1], prev[j][2] + 1, prev[j][3]),
-                (cur[j - 1][0] + 1, cur[j - 1][1], cur[j - 1][2],
-                 cur[j - 1][3] + 1),
+                (d_sub[0] + e, d_sub[1], d_sub[2] + e, d_sub[3], d_sub[4]),
+                (prev[j][0] + 1, prev[j][1] + 1, prev[j][2],
+                 prev[j][3] + 1, prev[j][4]),
+                (cur[j - 1][0] + 1, cur[j - 1][1] + 1, cur[j - 1][2],
+                 cur[j - 1][3], cur[j - 1][4] + 1),
             ]
             cur[j] = min(cand)
         prev = cur
-    d, s, dl, ins = prev[H]
+    d, _, s, dl, ins = prev[H]
     return WerCounts(
         subs=s, dels=dl, ins=ins, ref_words=R,
         sentences=1, wrong_sentences=1 if d > 0 else 0,
