@@ -243,7 +243,10 @@ def extract_xvector_for_recognizer(rec) -> Tuple[Optional[list], Optional[int]]:
 
     # non-silence selection from the decoder's best-path alignment (output
     # frames are subsample x 10ms)
-    _, _, pdfs = rec.dec.traceback(rec._records, rec._frontier, 0, use_final=False)
+    # whole-utterance alignment (frozen prefix + retained window) — the
+    # speaker features span the full utterance, so folded streams need the
+    # prefix pdfs too
+    _, _, pdfs = rec._full_traceback(use_final=False)
     sil = set(int(x) for x in rec.model.silence_pdfs)
     ss = rec.am.subsample
     keep = []

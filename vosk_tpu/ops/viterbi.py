@@ -154,6 +154,12 @@ class BatchViterbi:
         # the fields fit, else exact3.
         if pack == "auto":
             pack = "packed16" if frame_step == "v4" else "exact3"
+        if pack == "packed16" and frame_step != "v4":
+            # the v3 expansion reads 3/4-plane rows; packed16's 2-plane rows
+            # would be silently misread as weights.  Explicit packed16 with
+            # frame_step='auto' therefore degrades to exact3 when the graph
+            # forces the v3 step (e.g. residual epsilons after optimization).
+            pack = "exact3"
         self.pack = pack
 
         # device tables; state-indexed arrays padded so sentinel state S is a

@@ -67,6 +67,8 @@ class Finisher:
                     _, _, pdfs = dec.traceback(
                         records, frontier, channel, use_final=use_final,
                         at_start=init_override is None,
+                        init_states=None if init_override is None
+                        else init_override[0],
                     )
                     out = [(out[0][0], realign_items(
                         out[0][1], pdfs, model.phone_of_pdf,

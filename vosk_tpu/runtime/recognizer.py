@@ -67,6 +67,12 @@ class Recognizer:
 
         self.ex = model.feature_extractor()
         self.am = model.make_am()
+        # same decoder configuration as BatchPipeline (runtime/batch.py) so
+        # the single-stream and batch entry points score identically: the
+        # v4 single-phase frame step on the optimized (eps-free) graph with
+        # f16-packed arc rows — the round-3 2.4x throughput win now applies
+        # to streaming latency too.  v3 remains available as a test oracle
+        # via frame_step="v3" (tests/test_viterbi_v4.py parity suite).
         self.dec = BatchViterbi(
             self.graph,
             DecodeParams(
@@ -77,6 +83,9 @@ class Recognizer:
             ),
             lattice_records=True,
             silence_pdfs=model.silence_pdfs,
+            frame_step="auto",
+            pack="packed16",
+            optimize_graph=True,
         )
         from .finishing import Finisher
 
@@ -307,19 +316,47 @@ class Recognizer:
         _, ols, pdfs = self.dec.traceback_with_frames(
             self._records, self._frontier, 0, use_final=False,
             at_start=self._folded_frames == 0,
+            init_states=self._window_init_states(),
         )
         self._prefix_ols += [
             (ol, f + self._folded_frames) for (ol, f) in ols if f < drop_frames
         ]
         self._prefix_pdfs += pdfs[:drop_frames]
         last = self._records[n_drop - 1]
-        self._fold_init = (
-            np.asarray(last["f_state"][0, -1, -1]).copy(),
-            np.asarray(last["f_cost"][0, -1, -1]).copy(),
-        )
+        if "pm" in last:  # v4 records: [T, B, K]
+            self._fold_init = (
+                np.asarray(last["state"][-1, 0]).copy(),
+                np.asarray(last["f_cost"][-1, 0]).copy(),
+            )
+        else:  # v3 records: [B, T, L, K]
+            self._fold_init = (
+                np.asarray(last["f_state"][0, -1, -1]).copy(),
+                np.asarray(last["f_cost"][0, -1, -1]).copy(),
+            )
         self._records = self._records[n_drop:]
         self._rec_frames = self._rec_frames[n_drop:]
         self._folded_frames += drop_frames
+
+    def _window_init_states(self):
+        """[K] graph-state row of the frontier just before the retained
+        record window — the fold-boundary anchor v4 tracebacks need (v3
+        records ignore it).  None at utterance start (decoder default)."""
+        if self._folded_frames == 0 or self._fold_init is None:
+            return None
+        return self._fold_init[0]
+
+    def _last_chunk_init_states(self):
+        """[K] state row just before the NEWEST record chunk (for the O(1)
+        silence-weighting traceback over that chunk alone)."""
+        if len(self._records) >= 2:
+            prev = self._records[-2]
+            if "pm" in prev:  # v4: [T, B, K]
+                return np.asarray(prev["state"][-1, 0])
+            return np.asarray(prev["f_state"][0, -1, -1])
+        win = self._window_init_states()
+        # single retained chunk at utterance start: the decoder's initial
+        # closure is the preceding frontier
+        return win if win is not None else np.asarray(self.dec._init_states)
 
     def _full_traceback(self, use_final: bool):
         """Best path over the whole utterance: frozen prefix + retained
@@ -327,6 +364,7 @@ class Recognizer:
         cost, ols, pdfs = self.dec.traceback_with_frames(
             self._records, self._frontier, 0, use_final=use_final,
             at_start=self._folded_frames == 0,
+            init_states=self._window_init_states(),
         )
         off = self._folded_frames
         ols = self._prefix_ols + [(ol, f + off) for (ol, f) in ols]
@@ -369,7 +407,7 @@ class Recognizer:
             # just the newest chunk is O(chunk), not O(utterance)
             _, _, pdfs = self.dec.traceback(
                 [self._records[-1]], self._frontier, 0, use_final=False,
-                at_start=False,
+                at_start=False, init_states=self._last_chunk_init_states(),
             )
             self._update_silence_weights(pdfs, self._utt_frames - len(pdfs))
         rel = self._best_final_cost - self._best_cost
