@@ -175,3 +175,39 @@ def test_v4_lattice_multichannel():
         # final-cost isolation: this channel must have reachable finals of
         # its own (shortest() above already proves end-to-end reachability)
         assert np.isfinite(lat4.final).any(), f"ch={ch}"
+
+
+def test_v4_ragged_matches_full():
+    """Live-prefix bucketed expansion (ragged) must be BIT-exact vs the
+    plain v4 step: frontier, best costs, and every record plane."""
+    import jax
+    from vosk_tpu.utils.benchdata import make_bench_graph
+
+    g = make_bench_graph(num_states=20_000, num_pdfs=64, num_words=500,
+                         eps_fraction=0.0, seed=7)
+    params = DecodeParams(beam=10.0, max_active=2048, lattice_beam=6.0)
+    B, T = 16, 10
+    rng = np.random.default_rng(11)
+    # low-noise loglikes so live counts vary sharply per channel: some
+    # channels get confident (few live), some uniform (many live)
+    ll = rng.standard_normal((B, T, 64)).astype(np.float32)
+    ll[: B // 2] *= 6.0  # confident channels -> few live tokens
+
+    d_full = BatchViterbi(g, params, frame_step="v4", pack="packed16",
+                          lattice_records=True, ragged=False)
+    d_rag = BatchViterbi(g, params, frame_step="v4", pack="packed16",
+                         lattice_records=True, ragged=True)
+    assert d_rag._ragged_G(B) > 1, "ragged path must be active in this test"
+
+    f1, r1, b1, bf1 = d_full.decode_chunk(d_full.init_frontier(B), ll)
+    f2, r2, b2, bf2 = d_rag.decode_chunk(d_rag.init_frontier(B), ll)
+
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+    np.testing.assert_array_equal(np.asarray(bf1), np.asarray(bf2))
+    for k in f1:
+        np.testing.assert_array_equal(np.asarray(f1[k]), np.asarray(f2[k]),
+                                      err_msg=f"frontier[{k}]")
+    assert set(r1) == set(r2)
+    for k in r1:
+        np.testing.assert_array_equal(np.asarray(r1[k]), np.asarray(r2[k]),
+                                      err_msg=f"records[{k}]")

@@ -109,7 +109,8 @@ def main():
             def afscan(params, st, audio):
                 def body(st, a):
                     fs, feats, fv = pipe.ex._extract_chunk_impl(
-                        st["feat"], a, None, None)
+                        st["feat"], a, None,
+                        jnp.full((a.shape[0],), a.shape[1], jnp.int32))
                     ams, ll, lv = pipe.am._process_chunk_impl(
                         params, st["am"], feats, fv, None)
                     return {"feat": fs, "am": ams}, jnp.sum(ll[:, :1, :1])

@@ -87,6 +87,7 @@ class BatchViterbi:
         frame_step: str = "v3",  # "v3" | "v4" | "auto"
         pack: str = "auto",      # "exact3" | "packed16" | "auto"
         optimize_graph: bool = False,
+        ragged: bool = True,     # live-prefix bucketed expansion (v4 only)
     ):
         if optimize_graph:
             # load-time transform: unlabeled-eps removal + pred-dup degree
@@ -154,6 +155,7 @@ class BatchViterbi:
         # the fields fit, else exact3.
         if pack == "auto":
             pack = "packed16" if frame_step == "v4" else "exact3"
+        self.ragged = bool(ragged)
         if pack == "packed16" and frame_step != "v4":
             # the v3 expansion reads 3/4-plane rows; packed16's 2-plane rows
             # would be silently misread as weights.  Explicit packed16 with
@@ -875,6 +877,107 @@ class BatchViterbi:
         sA = jax.lax.sort((cbits, nsm, pm), num_keys=1, dimension=1)
         return self._select_v4(frontier, sA, valid)
 
+    def _frame_step_v4_bucket(self, frontier, ll, valid, Kb: int):
+        """v4 frame step expanding only the first Kb frontier slots.
+
+        EXACT whenever every live (finite-cost) token sits in slots < Kb:
+        selection leaves slots cost-sorted with dead (+inf, sentinel-state)
+        slots at the end, and dead slots expand to BIG_I32-keyed candidates
+        that a stable sort places after every real candidate — so dropping
+        them changes nothing.  Output shapes are Kb-independent ([B, K] /
+        [B, R]), so buckets can be lax.switch branches."""
+        if Kb >= self.K:
+            return self._frame_step_v4(frontier, ll, valid)
+        cbits, nsm, pm = self._expand_v4(
+            frontier["state"][:, :Kb], frontier["cost"][:, :Kb], ll
+        )
+        sA = jax.lax.sort((cbits, nsm, pm), num_keys=1, dimension=1)
+        return self._select_v4(frontier, sA, valid)
+
+    def _frame_step_v4_ragged(self, frontier, ll, valid):
+        """v4 frame step with live-prefix bucketed expansion over channel
+        groups — the TPU answer to data-dependent beam-search work (the
+        CUDA decoder's analogue is its per-channel token queues,
+        ref. batched online decoding, PAPERS.md 1910.10032):
+
+          * per channel, only the live slot prefix is expanded, rounded up
+            to a bucket size (exact: see _frame_step_v4_bucket)
+          * channels are sorted by live extent each frame so calm channels
+            share small buckets while busy ones pay full K — a lax.scan
+            over G groups picks each group's bucket with lax.switch at
+            runtime (one trace, data-dependent work inside jit)
+
+        At the honest operating point (B=96, K=7000, live p50=91 p95=cap)
+        measured expansion work drops to ~0.28x of full-K with G=4
+        (tools/profile_live.py); results are bit-exact vs _frame_step_v4
+        (tests/test_viterbi_v4.py)."""
+        B, K = frontier["state"].shape
+        G = self._ragged_G(B)
+        if G <= 1:
+            return self._frame_step_v4(frontier, ll, valid)
+        Bg = B // G
+        buckets = self._ragged_buckets()
+
+        finite = jnp.isfinite(frontier["cost"])
+        # live EXTENT (last live slot + 1), not count — robust to frontiers
+        # that aren't a clean prefix (e.g. hand-built test frontiers)
+        rev_has = jnp.cumsum(finite[:, ::-1].astype(jnp.int32), axis=1) > 0
+        extent = jnp.sum(rev_has, axis=1)  # [B]
+        order = jnp.argsort(-extent)
+        inv = jnp.argsort(order)
+
+        fr_p = {k: v[order] for k, v in frontier.items()}
+        ll_p = ll[order]
+        valid_p = valid[order]
+        ext_p = extent[order]
+        barr = jnp.asarray(np.asarray(buckets, np.int32))
+        bidx = jnp.clip(
+            jnp.searchsorted(barr, ext_p[:: Bg][:G], side="left"),
+            0, len(buckets) - 1,
+        )
+
+        branches = [
+            (lambda fr_g, ll_g, v_g, Kb=Kb:
+             self._frame_step_v4_bucket(fr_g, ll_g, v_g, Kb))
+            for Kb in buckets
+        ]
+
+        def gbody(_, xs):
+            fr_g, ll_g, v_g, bi = xs
+            f2, rec = jax.lax.switch(bi, branches, fr_g, ll_g, v_g)
+            return (), (f2, rec)
+
+        stack = (
+            {k: v.reshape(G, Bg, *v.shape[1:]) for k, v in fr_p.items()},
+            ll_p.reshape(G, Bg, -1),
+            valid_p.reshape(G, Bg),
+            bidx,
+        )
+        _, (f2_s, rec_s) = jax.lax.scan(gbody, (), stack)
+        f2 = {k: v.reshape(B, *v.shape[2:])[inv] for k, v in f2_s.items()}
+        rec = {k: v.reshape(B, *v.shape[2:])[inv] for k, v in rec_s.items()}
+        return f2, rec
+
+    def _ragged_G(self, B: int) -> int:
+        """Channel-group count for ragged expansion (0 disables)."""
+        if self.frame_step != "v4" or not self.ragged:
+            return 0
+        if self.K < 1024:
+            return 0  # nothing to save below one bucket step
+        for G in (4, 2):
+            if B % G == 0 and B >= 4 * G:
+                return G
+        return 0
+
+    def _ragged_buckets(self) -> list:
+        """Geometric bucket ladder ending at K (ascending)."""
+        out, k = [], self.K
+        while k > 512:
+            out.append(k)
+            k = (k + 1) // 2
+        out.append(max(k, 1))
+        return out[::-1]
+
     def _select_v4(self, frontier, sA, valid):
         """v4 selection from a cost-ordered candidate pool sA = (cbits, nsm,
         pm), each [B, P_pool] (P_pool = E whole-batch, n*C sharded)."""
@@ -1201,7 +1304,11 @@ class BatchViterbi:
         def step(car, xs):
             ll, v = xs
             if self.frame_step == "v4":
-                f2, rec = self._frame_step_v4(car, ll, v)
+                B = car["state"].shape[0]
+                if self._ragged_G(B) > 1:
+                    f2, rec = self._frame_step_v4_ragged(car, ll, v)
+                else:
+                    f2, rec = self._frame_step_v4(car, ll, v)
             elif self.layout == "padded":
                 f2, rec = self._frame_step_batched(car, ll, v)
             else:
