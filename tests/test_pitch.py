@@ -49,3 +49,66 @@ def test_voicing_transition():
     # normalized log pitch is roughly zero-mean on steady voicing
     mid = feats[third + 5 : 2 * third - 5, 1]
     assert abs(float(np.mean(mid))) < 0.2
+
+
+# ---------------------------------------------------------------- streaming
+
+
+def test_streaming_pitch_chunk_invariant():
+    """Streaming pitch (inside the feature pipeline) must be bit-identical
+    across chunkings and equal to the offline extract()."""
+    from vosk_tpu.ops.features import (
+        FeatureExtractor, FrameOptions, MelOptions, MfccOptions)
+
+    ex = FeatureExtractor(
+        MfccOptions(frame_opts=FrameOptions(dither=0.0),
+                    mel_opts=MelOptions(num_bins=23), num_ceps=13),
+        pitch_opts={},
+    )
+    assert ex.dim == 16 and ex.flush_pad_samples > 0
+    rng = np.random.default_rng(0)
+    t = np.arange(12000) / 16000
+    wav = (2500 * np.sin(2 * np.pi * 240 * t)
+           + 60 * rng.standard_normal(len(t))).astype(np.float32)
+    off = np.asarray(ex.extract(wav[None]))[0]
+
+    for S in (800, 3200):
+        st = ex.init_stream_state(1, S)
+        wavp = np.concatenate(
+            [wav, np.zeros(ex.flush_pad_samples, np.float32)])
+        outs = []
+        for pos in range(0, len(wavp), S):
+            c = wavp[pos:pos + S]
+            n = len(c)
+            if n < S:
+                c = np.concatenate([c, np.zeros(S - n, np.float32)])
+            st, f, v = ex.extract_chunk(
+                st, c[None], None, np.asarray([n], np.int32))
+            outs.append(np.asarray(f)[0, : int(np.asarray(v)[0].sum())])
+        stream = np.concatenate(outs)[: len(off)]
+        np.testing.assert_array_equal(off[:, 13:], stream[:, 13:],
+                                      err_msg=f"S={S} pitch dims")
+        np.testing.assert_allclose(off[:, :13], stream[:, :13], atol=1e-3)
+
+
+def test_streaming_pitch_tracks_f0_change():
+    from vosk_tpu.ops.features import (
+        FeatureExtractor, FrameOptions, MelOptions, MfccOptions)
+
+    ex = FeatureExtractor(
+        MfccOptions(frame_opts=FrameOptions(dither=0.0),
+                    mel_opts=MelOptions(num_bins=23), num_ceps=13),
+        pitch_opts={},
+    )
+    rng = np.random.default_rng(1)
+    t = np.arange(8000) / 16000
+    w1 = 3000 * np.sin(2 * np.pi * 220 * t)
+    w2 = 3000 * np.sin(2 * np.pi * 330 * t)
+    wav = (np.concatenate([w1, w2])
+           + 30 * rng.standard_normal(16000)).astype(np.float32)
+    f = np.asarray(ex.extract(wav[None]))[0]
+    # normalized log pitch must rise by ~log(330/220)=0.405 after the switch
+    after = f[55:70, 14]
+    assert 0.25 < float(np.median(after)) < 0.55, after
+    # POV feature strongly voiced throughout the tones
+    assert float(np.median(f[5:90, 13])) < -0.8

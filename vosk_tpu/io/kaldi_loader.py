@@ -111,16 +111,27 @@ def load_kaldi_model(path, max_out: int = 16) -> native.NativeModel:
         )
 
     # ---- pitch (reference model.cc:265-276 adds Kaldi online pitch when
-    # conf/pitch.conf exists); the extractor lives in ops/pitch.py but the
-    # streaming feature-pipeline integration is pending — fail loudly
-    # instead of letting the AM see a wrong feature dim
+    # conf/pitch.conf exists): parse the conf into PitchOptions kwargs for
+    # the streaming extractor (ops/pitch.py StreamingPitch)
     pitch_conf = (p / "conf" / "pitch.conf") if v2 else (p / "pitch.conf")
+    pitch_opts = None
     if pitch_conf.exists():
-        raise NotImplementedError(
-            f"{path} uses pitch features ({pitch_conf}); the pitch "
-            "extractor exists (vosk_tpu/ops/pitch.py) but streaming "
-            "pipeline integration is pending"
-        )
+        praw = read_config_file(pitch_conf)
+        keymap = {  # Kaldi PitchExtractionOptions -> PitchOptions fields
+            "min-f0": ("min_f0", float),
+            "max-f0": ("max_f0", float),
+            "penalty-factor": ("penalty_factor", float),
+            "nccf-ballast": ("nccf_ballast", float),
+            "resample-frequency": ("resample_rate", float),
+            "frame-shift": ("frame_shift_ms", float),
+            "frame-length": ("frame_length_ms", float),
+        }
+        pitch_opts = {}
+        for k, v in praw.items():
+            if k in keymap:
+                name, conv = keymap[k]
+                pitch_opts[name] = conv(v)
+        log_info(f"Online pitch enabled from {pitch_conf}: {pitch_opts}")
 
     # ---- feature config
     feat_cfg: dict
@@ -206,6 +217,7 @@ def load_kaldi_model(path, max_out: int = 16) -> native.NativeModel:
         lattice_beam=opts.lattice_beam,
         acoustic_scale=opts.acoustic_scale,
         frame_shift_seconds=0.01 * opts.frame_subsampling_factor,
+        pitch_opts=pitch_opts,
         **feat_cfg,
     )
 

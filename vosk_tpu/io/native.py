@@ -62,6 +62,9 @@ class ModelConfig:
     mel_opts: dict = dataclasses.field(default_factory=dict)
     mfcc_opts: dict = dataclasses.field(default_factory=dict)
     am: dict = dataclasses.field(default_factory=dict)
+    # online pitch appended to the base features when set (3 dims; the
+    # reference reads conf/pitch.conf, src/model.cc:265-276)
+    pitch_opts: Optional[dict] = None
     beam: float = 13.0
     max_active: int = 7000
     lattice_beam: float = 6.0
@@ -131,7 +134,7 @@ class NativeModel:
             opts = F.MfccOptions(frame_opts=fo, mel_opts=mel, **self.config.mfcc_opts)
         else:
             opts = F.FbankOptions(frame_opts=fo, mel_opts=mel)
-        return F.FeatureExtractor(opts)
+        return F.FeatureExtractor(opts, pitch_opts=self.config.pitch_opts)
 
     def endpoint_rules(self) -> List[EndpointRule]:
         if self.config.endpoint_rules is None:

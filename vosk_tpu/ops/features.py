@@ -188,7 +188,7 @@ class FeatureExtractor:
     reference src/model.cc:218-228.
     """
 
-    def __init__(self, opts: MfccOptions | FbankOptions):
+    def __init__(self, opts: MfccOptions | FbankOptions, pitch_opts=None):
         self.opts = opts
         self.is_mfcc = isinstance(opts, MfccOptions)
         fo = opts.frame_opts
@@ -204,9 +204,31 @@ class FeatureExtractor:
             self.dim = opts.num_ceps
         else:
             self.dim = opts.mel_opts.num_bins
+        # optional online pitch appended to the base features (3 dims; the
+        # reference adds Kaldi online pitch when conf/pitch.conf exists,
+        # src/model.cc:265-276).  Frame emission is delayed by the pitch
+        # lookahead so features stay chunk-invariant.
+        self.pitch = None
+        self.base_dim = self.dim
+        self._pitch_la = 0
+        if pitch_opts is not None:
+            from .pitch import PitchOptions, StreamingPitch
+
+            if isinstance(pitch_opts, dict):
+                pitch_opts = PitchOptions(
+                    sample_rate=fo.samp_freq, **pitch_opts)
+            self.pitch = StreamingPitch(pitch_opts)
+            self.dim += 3
+            self._pitch_la = self.pitch.la16
         # jit entry points (shapes cached per (batch, samples))
         self._extract_jit = jax.jit(self._extract_impl)
         self._chunk_jit = jax.jit(self._extract_chunk_impl)
+
+    @property
+    def flush_pad_samples(self) -> int:
+        """Zeros to append at end-of-input so lookahead-delayed frames (the
+        pitch tail) are emitted; 0 when no pitch."""
+        return self._pitch_la
 
     # ---------------- core frame computation (jittable) ----------------
 
@@ -263,6 +285,24 @@ class FeatureExtractor:
         n = num_frames_ready(wav.shape[-1], self.frame_opts)
         if n <= 0:
             return jnp.zeros(wav.shape[:-1] + (0, self.dim), jnp.float32)
+        if self.pitch is not None:
+            # pitch recursions carry state: run the streaming path over the
+            # whole utterance in one chunk, with la16 trailing zeros so the
+            # frame count matches the no-pitch num_frames_ready (offline
+            # Kaldi computes end-of-stream frames against silence the same
+            # way).  Chunk-invariance vs any streaming split is by
+            # construction: same sequential recursions, same state.
+            wav2 = np.asarray(wav, np.float32)
+            squeeze = wav2.ndim == 1
+            if squeeze:
+                wav2 = wav2[None]
+            B, N = wav2.shape
+            pad = np.zeros((B, self._pitch_la), np.float32)
+            wavp = np.concatenate([wav2, pad], axis=1)
+            st = self.init_stream_state(B, wavp.shape[1])
+            _, feats, _ = self.extract_chunk(st, jnp.asarray(wavp), key)
+            feats = feats[:, :n]
+            return feats[0] if squeeze else feats
         return self._extract_jit(wav, key)
 
     def _extract_impl(self, wav, key):
@@ -285,18 +325,25 @@ class FeatureExtractor:
         beyond the last frame start... we keep window_size + shift for slack.
         """
         cap = self._tail_cap(chunk_samples)
-        return {
+        st = {
             "tail": jnp.zeros((batch, cap), jnp.float32),
             "tail_len": jnp.zeros((batch,), jnp.int32),
             "total_samples": jnp.zeros((batch,), jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
             "frames_emitted": jnp.zeros((batch,), jnp.int32),
         }
+        if self.pitch is not None:
+            st["pitch"] = self.pitch.init_state(batch)
+        return st
 
     def _tail_cap(self, chunk_samples: int) -> int:
         fo = self.frame_opts
         # Max unconsumed samples: window_size - shift (overlap) plus up to
         # shift-1 not yet forming a frame, plus slack if first chunk < window.
         cap = max(fo.window_size + fo.window_shift, chunk_samples + fo.window_size)
+        if self.pitch is not None:
+            # pitch delays frame emission by la16 samples and its FIR needs
+            # W16 samples of retained left context
+            cap += self._pitch_la + self.pitch.W16
         # round up to 128 lanes for layout friendliness
         return ((cap + 127) // 128) * 128
 
@@ -338,7 +385,9 @@ class FeatureExtractor:
         buf_len = tail_len + n_s
 
         new_total = total + n_s
-        total_ready = num_frames_ready(new_total, fo)
+        # with pitch, a frame is emitted only once its NCCF lookahead (plus
+        # decimation-FIR halfwidth) is buffered — chunk-invariance
+        total_ready = num_frames_ready(new_total - self._pitch_la, fo)
         n_new = (total_ready - emitted).astype(jnp.int32)  # <= F by construction
 
         # frame f (f in [0, F)) starts at buffer offset:
@@ -356,8 +405,22 @@ class FeatureExtractor:
         feats = self._process_frames(frames, key)
         feats = jnp.where(valid[:, :, None], feats, 0.0)
 
-        # new tail: keep samples from (emitted + n_new) * sh onward
+        pitch_state = None
+        if self.pitch is not None:
+            # pitch windows start where the MFCC windows start; the buffer
+            # holds the full lookahead because ready-counting delayed the
+            # frames (start is UNclipped so pitch indexes real positions)
+            pitch_state, pfeats = self.pitch.frame_features(
+                state["pitch"], buf, start[:, 0], F, valid
+            )
+            pfeats = jnp.where(valid[:, :, None], pfeats, 0.0)
+            feats = jnp.concatenate([feats, pfeats], axis=2)
+
+        # new tail: keep samples from (emitted + n_new) * sh onward (minus
+        # the FIR left margin the next pitch frame's decimation needs)
         consumed_global = (emitted + n_new) * sh
+        if self.pitch is not None:
+            consumed_global = jnp.maximum(consumed_global - self.pitch.W16, 0)
         keep_from = (consumed_global - (new_total - buf_len)).astype(jnp.int32)
         keep_from = jnp.clip(keep_from, 0, cap + S)
         new_tail_len = jnp.minimum(buf_len - keep_from, cap).astype(jnp.int32)
@@ -372,6 +435,8 @@ class FeatureExtractor:
             "total_samples": new_total,
             "frames_emitted": emitted + n_new,
         }
+        if pitch_state is not None:
+            new_state["pitch"] = pitch_state
         return new_state, feats, valid
 
 

@@ -162,3 +162,203 @@ def compute_pitch_features(wave, opts: PitchOptions = PitchOptions()):
 
     feats = np.stack([pov_feature, norm_logp, delta], axis=1).astype(np.float32)
     return feats, pitch_hz.astype(np.float32), pov.astype(np.float32)
+
+
+class StreamingPitch:
+    """Chunk-invariant streaming pitch (jnp; runs inside the jitted feature
+    pipeline).  The reference wires Kaldi's online pitch into the feature
+    pipeline when conf/pitch.conf exists (src/model.cc:265-276); this is
+    the TPU-native equivalent with sequential (carried-state) recursions so
+    any chunking of the input produces identical features:
+
+      * FIR-decimation of the input to `resample_rate` (integer factor)
+      * per-frame NCCF over the lag grid (vectorized over lags)
+      * ONLINE Viterbi lag tracking: the forward recursion is carried
+        across chunks and each frame emits the filtering argmin (Kaldi's
+        offline smoother backtracks from the utterance end; the online
+        estimate is the same recursion without future context — Kaldi's
+        own online pitch emits provisional values the same way)
+      * POV-weighted log-pitch mean over a BACKWARD window of
+        `mean_window` frames (offline uses a centered window)
+      * delta(log pitch) as the one-frame backward difference
+
+    Frame emission is delayed by `la16` input samples (pitch lookahead +
+    FIR halfwidth) so every emitted frame has its full NCCF window — the
+    feature pipeline's ready-count subtracts this lookahead, and offline/
+    finalize paths append `la16` zeros so frame counts match Kaldi's
+    num_frames_ready exactly.
+    """
+
+    def __init__(self, opts: PitchOptions = PitchOptions()):
+        self.opts = opts
+        rr, sr = opts.resample_rate, opts.sample_rate
+        R = int(round(sr / rr))
+        if abs(R * rr - sr) > 1e-3:
+            raise ValueError(
+                f"pitch resample rate {rr} must divide the sample rate {sr}")
+        self.R = R
+        self.sh16 = int(sr * opts.frame_shift_ms / 1000.0)
+        self.ws16 = int(sr * opts.frame_length_ms / 1000.0)
+        if self.sh16 % R:
+            raise ValueError("frame shift must be a multiple of the "
+                             "pitch decimation factor")
+        self.sh4 = self.sh16 // R
+        self.ws4 = self.ws16 // R
+        self.min_lag = max(int(rr / opts.max_f0), 2)
+        self.max_lag = int(rr / opts.min_f0)
+        self.L = self.max_lag - self.min_lag + 1
+        self.MW = opts.mean_window
+
+        # FIR decimation taps (Hann-windowed sinc, Kaldi FilterFunc shape),
+        # normalized to unit DC gain
+        cutoff = 0.99 * 0.5 * rr
+        hw_s = 10.0 / (2.0 * cutoff)  # 10-zero windowed sinc
+        W16 = int(np.ceil(hw_s * sr))
+        t = np.arange(-W16, W16 + 1) / sr
+        win = np.where(np.abs(t) < hw_s,
+                       0.5 * (1.0 + np.cos(np.pi / hw_s * t)), 0.0)
+        x = 2.0 * cutoff * t
+        sinc = np.where(x == 0.0, 1.0,
+                        np.sin(np.pi * x) / np.where(x == 0.0, 1.0, np.pi * x))
+        h = (win * sinc).astype(np.float32)
+        self.fir = h / h.sum()
+        self.W16 = W16
+        # input-sample lookahead an emitted frame needs beyond its MFCC
+        # window: the NCCF lag tail plus the FIR halfwidth
+        self.la16 = R * self.max_lag + W16
+
+        lags_s = np.arange(self.min_lag, self.max_lag + 1) / rr
+        self.lags_s = lags_s.astype(np.float32)
+        self.neg_log_lags = (-np.log(lags_s)).astype(np.float32)  # log f0
+        loglags = np.log(lags_s)
+        self.trans = (opts.penalty_factor
+                      * (loglags[:, None] - loglags[None, :]) ** 2
+                      ).astype(np.float32)
+        self.lag_bias = (1.0 - 0.02 * (loglags - loglags[0])).astype(np.float32)
+
+    # -------------------------------------------------------------- state
+
+    def init_state(self, batch: int):
+        L, MW = self.L, self.MW
+        return {
+            "fwd": jnp.zeros((batch, L), jnp.float32),
+            "ring_logp": jnp.zeros((batch, MW), jnp.float32),
+            "ring_w": jnp.zeros((batch, MW), jnp.float32),
+            "ring_pos": jnp.zeros((batch,), jnp.int32),
+            "e_sum": jnp.zeros((batch,), jnp.float32),
+            "n_frames": jnp.zeros((batch,), jnp.int32),
+            "prev_logp": jnp.zeros((batch,), jnp.float32),
+        }
+
+    # ------------------------------------------------------------- compute
+
+    def frame_features(self, state, buf, start0, F, valid):
+        """Pitch features for this chunk's frames.
+
+        buf: [B, W] raw-input working buffer (mfcc pipeline's); start0: [B]
+        buffer-local input-sample index of frame 0's window start; F: static
+        frame budget; valid: [B, F] frame mask.  Returns (state', [B, F, 3]).
+        """
+        o = self.opts
+        R, ws4, sh4, max_lag = self.R, self.ws4, self.sh4, self.max_lag
+        L, W16 = self.L, self.W16
+        B, Wb = buf.shape
+        Lr = (F - 1) * sh4 + ws4 + max_lag  # decimated region length
+
+        # FIR decimation of the region (gather + einsum; edge-clipped —
+        # interior frames always have real margin because the pipeline
+        # retains W16 extra tail samples)
+        taps = self.fir.shape[0]
+        qi = jnp.arange(Lr, dtype=jnp.int32) * R
+        ti = jnp.arange(taps, dtype=jnp.int32) - W16
+        idx = start0[:, None, None] + qi[None, :, None] + ti[None, None, :]
+        idx = jnp.clip(idx, 0, Wb - 1)
+        x16 = jnp.take_along_axis(buf, idx.reshape(B, -1), axis=1)
+        sig4 = x16.reshape(B, Lr, taps) @ jnp.asarray(self.fir)  # [B, Lr]
+
+        # frames [B, F, ws4 + max_lag]
+        fi = jnp.arange(F, dtype=jnp.int32) * sh4
+        wi = jnp.arange(ws4 + max_lag, dtype=jnp.int32)
+        fidx = fi[:, None] + wi[None, :]  # [F, ws4+max_lag]
+        frames = sig4[:, fidx]  # [B, F, ws4+max_lag]
+
+        x0 = frames[..., :ws4]
+        x0c = x0 - jnp.mean(x0, axis=-1, keepdims=True)
+        e0 = jnp.sum(x0c * x0c, axis=-1)  # [B, F]
+
+        def one_lag(lag):
+            xl = jax.lax.dynamic_slice_in_dim(frames, lag, ws4, axis=2)
+            xlc = xl - jnp.mean(xl, axis=-1, keepdims=True)
+            return jnp.sum(x0c * xlc, axis=-1), jnp.sum(xlc * xlc, axis=-1)
+
+        nums, els = jax.vmap(one_lag)(
+            jnp.arange(self.min_lag, self.max_lag + 1))
+        nums = jnp.moveaxis(nums, 0, -1)  # [B, F, L]
+        els = jnp.moveaxis(els, 0, -1)
+        nccf_pure = nums / jnp.sqrt(e0[..., None] * els + 1e-10)
+
+        trans = jnp.asarray(self.trans)
+        lag_bias = jnp.asarray(self.lag_bias)
+        neg_log_lags = jnp.asarray(self.neg_log_lags)
+        MW = self.MW
+
+        def step(car, xs):
+            nccf_f, e_f, v_f = xs  # [B, L], [B], [B]
+            fwd, r_logp, r_w, pos, e_sum, n, prev_lp = car
+            e_sum2 = e_sum + jnp.where(v_f, e_f, 0.0)
+            n2 = n + v_f.astype(jnp.int32)
+            mean_sq = e_sum2 / jnp.maximum(n2, 1) / ws4
+            ballast = o.nccf_ballast * mean_sq
+            scale = jnp.sqrt(e_f / (e_f + ballast * ws4 + 1e-10))
+            obs = nccf_f * scale[:, None] * lag_bias[None, :]
+
+            fwd2 = jnp.min(fwd[:, :, None] + trans[None], axis=1) - obs
+            fwd2 = fwd2 - jnp.min(fwd2, axis=1, keepdims=True)
+            lag_idx = jnp.argmin(fwd2, axis=1)  # [B]
+
+            c = jnp.clip(
+                jnp.take_along_axis(nccf_f, lag_idx[:, None], axis=1)[:, 0],
+                -1.0, 1.0)
+            pov_feat = o.pov_scale * (jnp.power(1.0001 - c, 0.15) - 1.0)
+            pov = jnp.clip(jnp.abs(c), 0.0, 1.0)
+            logp = neg_log_lags[lag_idx]
+
+            # backward POV-weighted mean of log pitch over the ring
+            slot = pos % MW
+            r_logp2 = jnp.where(
+                (jnp.arange(MW)[None] == slot[:, None]) & v_f[:, None],
+                logp[:, None], r_logp)
+            r_w2 = jnp.where(
+                (jnp.arange(MW)[None] == slot[:, None]) & v_f[:, None],
+                (pov + 1e-4)[:, None], r_w)
+            mean = jnp.sum(r_w2 * r_logp2, axis=1) / jnp.maximum(
+                jnp.sum(r_w2, axis=1), 1e-8)
+            norm_logp = logp - mean
+            delta = jnp.where(n > 0, logp - prev_lp, 0.0)
+
+            feats_f = jnp.stack([pov_feat, norm_logp, delta], axis=1)
+            feats_f = jnp.where(v_f[:, None], feats_f, 0.0)
+
+            vb = v_f
+            car2 = (
+                jnp.where(vb[:, None], fwd2, fwd),
+                r_logp2, r_w2,
+                jnp.where(vb, pos + 1, pos),
+                e_sum2,
+                n2,
+                jnp.where(vb, logp, prev_lp),
+            )
+            return car2, feats_f
+
+        car0 = (state["fwd"], state["ring_logp"], state["ring_w"],
+                state["ring_pos"], state["e_sum"], state["n_frames"],
+                state["prev_logp"])
+        xs = (jnp.moveaxis(nccf_pure, 1, 0), jnp.moveaxis(e0, 1, 0),
+              jnp.moveaxis(valid, 1, 0))
+        car1, feats = jax.lax.scan(step, car0, xs)
+        state2 = {
+            "fwd": car1[0], "ring_logp": car1[1], "ring_w": car1[2],
+            "ring_pos": car1[3], "e_sum": car1[4], "n_frames": car1[5],
+            "prev_logp": car1[6],
+        }
+        return state2, jnp.moveaxis(feats, 0, 1)  # [B, F, 3]

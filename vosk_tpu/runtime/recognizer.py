@@ -381,6 +381,14 @@ class Recognizer:
             if len(tail):
                 self._pending = np.concatenate([self._pending, tail])
             self._resampler.reset()
+        if input_finished and self.ex.flush_pad_samples:
+            # pitch delays frame emission by its lookahead; flush the tail
+            # frames against zeros (end-of-stream silence), like Kaldi's
+            # online pitch at InputFinished
+            self._pending = np.concatenate(
+                [self._pending,
+                 np.zeros(self.ex.flush_pad_samples, np.float32)]
+            )
         if len(self._pending) > 0:
             self._process_chunk(self._pending, len(self._pending))
             self._pending = np.zeros(0, np.float32)

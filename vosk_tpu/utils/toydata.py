@@ -84,7 +84,7 @@ def _feature_config() -> dict:
     )
 
 
-def make_extractor() -> F.FeatureExtractor:
+def make_extractor(pitch: bool = False) -> F.FeatureExtractor:
     cfg = _feature_config()
     fo = F.FrameOptions(dither=0.0)  # deterministic features for training
     return F.FeatureExtractor(
@@ -92,7 +92,8 @@ def make_extractor() -> F.FeatureExtractor:
             frame_opts=fo,
             mel_opts=F.MelOptions(**cfg["mel_opts"]),
             **cfg["mfcc_opts"],
-        )
+        ),
+        pitch_opts={} if pitch else None,
     )
 
 
@@ -105,16 +106,19 @@ def build_toy_model(
     strides: Tuple[int, ...] = (1, 1, 3),
     beam: float = 16.0,
     max_active: int = 2000,
+    pitch: bool = False,
 ) -> None:
     """Train the toy AM on synthetic aligned data, compile the graph, save a
-    native model dir."""
+    native model dir.  pitch=True appends the 3 online-pitch dims to the
+    features (the reference's conf/pitch.conf models, model.cc:265-276) and
+    trains the AM on them."""
     from ..models.train import train_frame_ce
 
     rng = np.random.default_rng(seed)
     words, phones = build_symbols()
 
     # ----- training data: random word sequences
-    ex = make_extractor()
+    ex = make_extractor(pitch=pitch)
     n_utts, n_words = 24, 5
     utt_feats, utt_labels = [], []
     sentences = []
@@ -179,6 +183,7 @@ def build_toy_model(
         max_active=max_active,
         acoustic_scale=1.0,
         am=dataclasses.asdict(am_cfg),
+        pitch_opts={} if pitch else None,
         **_feature_config(),
     )
     native.save_model(
