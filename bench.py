@@ -126,18 +126,22 @@ def main() -> None:
     seconds = float(os.environ.get("VOSK_TPU_BENCH_SECONDS", "2"))
     max_active = int(os.environ.get("VOSK_TPU_BENCH_MAX_ACTIVE", "7000"))
 
-    honest = run_config(
+    # HEADLINE: fixed max-active at the reference operating point.  The
+    # live-prefix ragged expansion inside this path is bit-exact (dead
+    # slots contribute nothing; tests/test_viterbi_v4.py), so this number
+    # carries no accuracy caveat.
+    fixed = run_config(
         B, states, seconds, max_active,
         realistic=True, lattice=True, num_pdfs=6008, num_words=100_000,
-        adaptive=True,
+        adaptive=False,
     )
 
-    fixed = None
-    if not os.environ.get("VOSK_TPU_BENCH_SKIP_FIXED"):
-        fixed = run_config(
+    adaptive = None
+    if not os.environ.get("VOSK_TPU_BENCH_SKIP_ADAPTIVE"):
+        adaptive = run_config(
             B, states, seconds, max_active,
             realistic=True, lattice=True, num_pdfs=6008, num_words=100_000,
-            adaptive=False,
+            adaptive=True,
         )
 
     easy = None
@@ -149,23 +153,29 @@ def main() -> None:
 
     out = {
         "metric": "batch_streaming_throughput",
-        "value": round(honest, 1),
+        "value": round(fixed, 1),
         "unit": "audio-s/s/chip",
-        "vs_baseline": round(honest / 5000.0, 4),
+        "vs_baseline": round(fixed / 5000.0, 4),
         "config": {
             "states": states, "max_active": max_active, "beam": 13.0,
             "lattice_beam": 6.0, "lattice_records": True, "channels": B,
             "pdfs": 6008, "snr": 2.0,
-            "adaptive_max_active": "ladder 1024/2048/4096/7000, step on live>0.75K per 0.8s segment",
-            "note": "reference operating point (src/model.cc:134-147); "
-                    "acoustic difficulty tuned to real live-token counts "
-                    "(mean ~1.5k, p95 at cap)",
+            "note": "FIXED max-active (reference operating point, "
+                    "src/model.cc:134-147) with exact live-prefix ragged "
+                    "expansion; acoustic difficulty tuned to real "
+                    "live-token counts (mean ~1.5k, p95 at cap)",
         },
     }
-    if fixed is not None:
-        out["fixed_max_active"] = {
-            "value": round(fixed, 1),
-            "config": {"note": "same, without the adaptive ladder"},
+    if adaptive is not None:
+        out["adaptive_ladder"] = {
+            "value": round(adaptive, 1),
+            "config": {
+                "note": "adaptive max-active ladder 1024/2048/4096/7000, "
+                        "step on live>0.75K per 0.8s segment; can "
+                        "transiently decode one segment at a tighter "
+                        "max_active (WER-parity-tested on the toy corpus, "
+                        "tests/test_wer_parity.py)",
+            },
         }
     if easy is not None:
         out["easy"] = {

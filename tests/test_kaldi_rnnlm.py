@@ -80,3 +80,106 @@ def test_rnnlm_rescorer_scores(rnnlm_dir):
     c3, _ = rescorer.score(st2, 4)
     assert c3 != c or True  # may coincide; at least it must be finite
     assert np.isfinite(rescorer.final_cost(st2))
+
+
+# ------------------------------------------------------------ recurrent
+
+
+CELL = 5
+
+
+def _build_lstm_net(rng):
+    """Hand-built recurrent nnet3: one LSTM layer with the Kaldi graph
+    shape (W_all affine -> LstmNonlinearityComponent with IfDefined
+    (Offset(...,-1)) back-edges -> projection to the embedding dim)."""
+    net = n3.Nnet3()
+    for line in [
+        f"input-node name=input dim={EMB}",
+        "component-node name=W_all component=W_all "
+        "input=Append(input, IfDefined(Offset(m, -1)))",
+        "component-node name=lstm component=lstm_nonlin "
+        "input=Append(W_all, IfDefined(Offset(c, -1)))",
+        f"dim-range-node name=c input-node=lstm dim-offset=0 dim={CELL}",
+        f"dim-range-node name=m input-node=lstm dim-offset={CELL} dim={CELL}",
+        "component-node name=proj component=proj input=m",
+        "output-node name=output input=proj objective=linear",
+    ]:
+        net._parse_config_line(line)
+    W = rng.standard_normal((4 * CELL, EMB + CELL)).astype(np.float32) * 0.4
+    b = rng.standard_normal(4 * CELL).astype(np.float32) * 0.1
+    peep = rng.standard_normal((3, CELL)).astype(np.float32) * 0.2
+    P = rng.standard_normal((EMB, CELL)).astype(np.float32) * 0.4
+    net.components = {
+        "W_all": n3.AffineComponent(W, b),
+        "lstm_nonlin": n3.LstmNonlinearityComponent(peep),
+        "proj": n3.AffineComponent(P, np.zeros(EMB, np.float32)),
+    }
+    net.component_order = ["W_all", "lstm_nonlin", "proj"]
+    return net, (W, b, peep, P)
+
+
+def _ref_lstm(x, W, b, peep, P):
+    """Numpy oracle for the recurrent unroll."""
+    def sig(v):
+        return 1.0 / (1.0 + np.exp(-v))
+
+    T = x.shape[0]
+    c = np.zeros(CELL, np.float32)
+    m = np.zeros(CELL, np.float32)
+    w_ic, w_fc, w_oc = peep
+    out = []
+    for t in range(T):
+        z = W @ np.concatenate([x[t], m]) + b
+        i_p, f_p, c_p, o_p = (z[k * CELL:(k + 1) * CELL] for k in range(4))
+        i = sig(i_p + w_ic * c)
+        f = sig(f_p + w_fc * c)
+        c = f * c + i * np.tanh(c_p)
+        o = sig(o_p + w_oc * c)
+        m = o * np.tanh(c)
+        out.append(P @ m)
+    return np.stack(out)
+
+
+def test_lstm_recurrent_evaluate_matches_oracle():
+    rng = np.random.default_rng(7)
+    net, (W, b, peep, P) = _build_lstm_net(rng)
+    assert net.has_recurrence()
+    x = rng.standard_normal((6, EMB)).astype(np.float32)
+    y = np.asarray(net.evaluate({"input": x}))
+    np.testing.assert_allclose(y, _ref_lstm(x, W, b, peep, P),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_lstm_rnnlm_dir_scores(rnnlm_dir, tmp_path):
+    """A RECURRENT (LSTM) Kaldi rnnlm/ dir loads, round-trips through the
+    binary format, and scores (round-3 verdict gap: recurrent nets loaded
+    but could not score; reference scores them at model.cc:316-339)."""
+    import shutil
+
+    src, _ = rnnlm_dir
+    d = tmp_path / "rnnlm_lstm"
+    shutil.copytree(src, d)
+    rng = np.random.default_rng(11)
+    net, _ = _build_lstm_net(rng)
+    with open(d / "final.raw", "wb") as f:
+        f.write(b"\x00B")
+        net.write(BinaryWriter(f))
+
+    lm = read_rnnlm_dir(d)
+    assert lm.net.has_recurrence()
+    assert isinstance(
+        lm.net.components["lstm_nonlin"], n3.LstmNonlinearityComponent)
+    resc = KaldiRnnlmRescorer(lm)
+    st = resc.initial_state()
+    c1, st2 = resc.score(st, 4)
+    assert np.isfinite(c1)
+    # context sensitivity: scoring the same word after different histories
+    # must differ (the LSTM state depends on the history)
+    c_a, _ = resc.score(st2, 4)
+    st3 = (st2 + (5,))[-resc.history:]
+    c_b, _ = resc.score(st3, 4)
+    assert np.isfinite(c_a) and np.isfinite(c_b)
+    assert abs(c_a - c_b) > 1e-6
+    # determinism
+    c1r, _ = resc.score(st, 4)
+    assert c1 == c1r

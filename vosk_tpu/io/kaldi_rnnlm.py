@@ -10,11 +10,12 @@ The reference loads four artifacts (model.cc:316-339):
 and composes the dense word-embedding matrix as
 word_feature_mat @ feature_embedding (AddSmatMat at model.cc:330-334).
 
-We load all four the same way.  Scoring support: networks whose
-components our nnet3 reader implements (feedforward TDNN-style RNNLMs)
+We load all four the same way.  Scoring: feedforward TDNN-style RNNLMs
 run step-wise over a bounded word-history window with tied output
-embeddings; recurrent component types (LSTM/GRU) are reported by name in
-a NotImplementedError so the gap is explicit, not silent.
+embeddings; recurrent (LSTM) nets take nnet3's time-stepped recurrent
+evaluator (LstmNonlinearityComponent + IfDefined(Offset(..,-d))
+back-edges) over the same bounded window — the truncation Kaldi's own
+RnnlmDeterministicFst applies via --max-ngram-order.
 """
 from __future__ import annotations
 
@@ -99,11 +100,18 @@ class KaldiRnnlmRescorer:
 
         self.lm = lm
         self.history = history
-        # left context of the output node: how many embedded words the net
-        # consumes before producing the current prediction
-        lc, rc = _node_context(lm.net, "output", {})
-        self.left_context = max(lc, 0)
-        self.right_context = max(rc, 0)
+        if lm.net.has_recurrence():
+            # recurrent (LSTM) nets consume the whole history window via
+            # their back-edges; no receptive-field padding needed (and
+            # _node_context would not terminate on a cyclic graph)
+            self.left_context = 0
+            self.right_context = 0
+        else:
+            # left context of the output node: how many embedded words the
+            # net consumes before producing the current prediction
+            lc, rc = _node_context(lm.net, "output", {})
+            self.left_context = max(lc, 0)
+            self.right_context = max(rc, 0)
         self._cache: Dict[Tuple[int, ...], np.ndarray] = {}
 
     def initial_state(self) -> Tuple[int, ...]:

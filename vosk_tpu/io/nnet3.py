@@ -354,6 +354,62 @@ class IdentityComponent(Component):
         w.write_basic_int(self.dim)
 
 
+class LstmNonlinearityComponent(Component):
+    """Kaldi LstmNonlinearityComponent (nnet-combined-component.cc): the
+    fused LSTM gate nonlinearity with diagonal peephole weights.
+
+    Input [*, 5C] = (i_part, f_part, c_part, o_part, c_prev); params [3, C]
+    = (w_ic, w_fc, w_oc); output [*, 2C] = (c_t, m_t):
+
+      i = sigmoid(i_part + w_ic * c_prev)
+      f = sigmoid(f_part + w_fc * c_prev)
+      c = f * c_prev + i * tanh(c_part)
+      o = sigmoid(o_part + w_oc * c)
+      m = o * tanh(c)
+
+    Referenced from the recurrent RNNLM path (reference loads such nets at
+    src/model.cc:316-339 and scores them via RnnlmDeterministicFst,
+    recognizer.cc:696-705)."""
+
+    type_name = "LstmNonlinearityComponent"
+
+    def __init__(self, params: np.ndarray):
+        assert params.shape[0] == 3
+        self.params = params.astype(np.float32)
+        self.cell_dim = params.shape[1]
+
+    def output_dim(self) -> int:
+        return 2 * self.cell_dim
+
+    def forward(self, x):
+        import jax
+        import jax.numpy as jnp
+
+        C = self.cell_dim
+        w_ic, w_fc, w_oc = (jnp.asarray(self.params[i]) for i in range(3))
+        i_p, f_p, c_p, o_p, c_prev = (
+            x[..., k * C : (k + 1) * C] for k in range(5)
+        )
+        i = jax.nn.sigmoid(i_p + w_ic * c_prev)
+        f = jax.nn.sigmoid(f_p + w_fc * c_prev)
+        c = f * c_prev + i * jnp.tanh(c_p)
+        o = jax.nn.sigmoid(o_p + w_oc * c)
+        m = o * jnp.tanh(c)
+        return jnp.concatenate([c, m], axis=-1)
+
+    @classmethod
+    def read_body(cls, r: BinaryReader, type_name: str):
+        got = skip_until(r, f"</{type_name}>", {"<Params>": "matrix"})
+        params = got.get("<Params>")
+        if params is None:
+            raise KaldiReadError("LstmNonlinearityComponent without <Params>")
+        return cls(np.asarray(params))
+
+    def write_body(self, w: BinaryWriter) -> None:
+        w.write_token("<Params>")
+        w.write_matrix(self.params)
+
+
 class PerElementScaleComponent(Component):
     type_name = "NaturalGradientPerElementScaleComponent"
 
@@ -543,6 +599,8 @@ _IDENTITY = {
     "NoOpComponent",
     "DropoutComponent",
     "GeneralDropoutComponent",
+    # inference-time identity: clips gradients only during training
+    "BackpropTruncationComponent",
 }
 
 
@@ -571,6 +629,8 @@ def read_component(r: BinaryReader) -> Component:
         return StatisticsExtractionComponent.read_body(r, name)
     if name == "StatisticsPoolingComponent":
         return StatisticsPoolingComponent.read_body(r, name)
+    if name == "LstmNonlinearityComponent":
+        return LstmNonlinearityComponent.read_body(r, name)
     raise KaldiReadError(f"unsupported nnet3 component type: {name}")
 
 
@@ -693,6 +753,12 @@ class Nnet3:
                     f"component-node name={name} component={nd.component} "
                     f"input={_desc_to_str(nd.descriptor)}\n".encode()
                 )
+            elif nd.kind == "dim_range":
+                w.s.write(
+                    f"dim-range-node name={name} "
+                    f"input-node={_desc_to_str(nd.descriptor)} "
+                    f"dim-offset={nd.dim_offset} dim={nd.dim}\n".encode()
+                )
             elif nd.kind == "output":
                 w.s.write(
                     f"output-node name={name} input={_desc_to_str(nd.descriptor)} "
@@ -765,12 +831,50 @@ class Nnet3:
 
     # ----------------------------------------------------------- evaluate
 
+    def has_recurrence(self) -> bool:
+        """True when the node graph is cyclic (LSTM/GRU-style nets whose
+        recurrence is expressed as IfDefined(Offset(x, -d)) back-edges)."""
+        if getattr(self, "_recurrent", None) is not None:
+            return self._recurrent
+
+        def refs(d: Desc):
+            if d.op == "node":
+                yield d.args[0]
+            else:
+                for a in d.args:
+                    if isinstance(a, Desc):
+                        yield from refs(a)
+
+        color: Dict[str, int] = {}
+
+        def cyclic(name: str) -> bool:
+            c = color.get(name, 0)
+            if c == 1:
+                return True
+            if c == 2:
+                return False
+            color[name] = 1
+            nd = self.nodes.get(name)
+            if nd is not None and nd.descriptor is not None:
+                for dep in refs(nd.descriptor):
+                    if cyclic(dep):
+                        return True
+            color[name] = 2
+            return False
+
+        self._recurrent = any(cyclic(n) for n in list(self.nodes))
+        return self._recurrent
+
     def evaluate(self, inputs: Dict[str, np.ndarray], output: str = "output"):
         """inputs: node name -> [T, dim] (ivector as [1, dim] or [T, dim]).
         Returns [T, out_dim] jax array.  Time indexing is edge-clamped
         (looped-decodable padding semantics; callers provide padded input
-        context as with models/tdnnf)."""
+        context as with models/tdnnf).  Cyclic graphs (LSTM recurrence)
+        take the time-stepped path."""
         import jax.numpy as jnp
+
+        if self.has_recurrence():
+            return self._evaluate_recurrent(inputs, output)
 
         cache: Dict[str, object] = {}
         T = max(int(v.shape[0]) for k, v in inputs.items())
@@ -840,6 +944,127 @@ class Nnet3:
             raise KaldiReadError(f"cannot evaluate descriptor {d.op}")
 
         return eval_node(output)
+
+    def _evaluate_recurrent(self, inputs: Dict[str, np.ndarray],
+                            output: str = "output"):
+        """Time-stepped evaluation for cyclic (recurrent) graphs: the
+        backprop-free unroll.  Each (node, t) is memoized; a back-edge
+        IfDefined(Offset(x, -d)) reads (x, t-d), which is zeros for t < 0
+        (Kaldi's IfDefined semantics at the sequence start).  Offsets past
+        the end clamp to the last frame (looped-decodable padding).
+
+        The reference evaluates recurrent RNNLMs incrementally the same
+        way (rnnlm-compute-state.cc); AMs keep the vectorized acyclic
+        path."""
+        import jax.numpy as jnp
+
+        T = max(int(v.shape[0]) for v in inputs.values())
+        vals: Dict[tuple, np.ndarray] = {}
+        in_np = {k: np.asarray(v, np.float32) for k, v in inputs.items()}
+        stack: set = set()
+
+        def node_dim(name: str) -> int:
+            nd = self.nodes[name]
+            if nd.kind == "input":
+                return in_np[name].shape[1]
+            if nd.kind == "component":
+                return self.components[nd.component].output_dim()
+            return nd.dim
+
+        def eval_node(name: str, t: int) -> np.ndarray:
+            t = min(t, T - 1)
+            key = (name, t)
+            if key in vals:
+                return vals[key]
+            if key in stack:
+                raise KaldiReadError(
+                    f"recurrent cycle through {name} at t={t} has no "
+                    "negative-offset back-edge")
+            stack.add(key)
+            try:
+                nd = self.nodes[name]
+                if nd.kind == "input":
+                    v = in_np[name]
+                    row = v[min(t, v.shape[0] - 1)]
+                elif nd.kind == "component":
+                    x = eval_desc(nd.descriptor, t)
+                    row = np.asarray(
+                        self.components[nd.component].forward(x[None, :])
+                    )[0]
+                elif nd.kind == "dim_range":
+                    x = eval_desc(nd.descriptor, t)
+                    row = x[nd.dim_offset : nd.dim_offset + nd.dim]
+                elif nd.kind == "output":
+                    row = eval_desc(nd.descriptor, t)
+                else:
+                    raise KaldiReadError(f"cannot evaluate node kind {nd.kind}")
+            finally:
+                stack.discard(key)
+            vals[key] = row
+            return row
+
+        def desc_dim(d: Desc) -> int:
+            if d.op == "node":
+                return node_dim(d.args[0])
+            if d.op == "append":
+                return sum(desc_dim(a) for a in d.args)
+            if d.op in ("offset", "round"):
+                return desc_dim(d.args[0])
+            if d.op in ("sum",):
+                return desc_dim(d.args[0])
+            if d.op == "scale":
+                return desc_dim(d.args[1])
+            if d.op == "const":
+                return d.args[1]
+            if d.op == "replace_index":
+                return desc_dim(d.args[0])
+            if d.op in ("ifdefined", "failover"):
+                return desc_dim(d.args[0])
+            raise KaldiReadError(f"bad desc {d.op}")
+
+        def eval_desc(d: Desc, t: int, defined_only: bool = False):
+            if d.op == "node":
+                return eval_node(d.args[0], t)
+            if d.op == "append":
+                return np.concatenate([eval_desc(a, t) for a in d.args])
+            if d.op == "offset":
+                t2 = t + d.args[1]
+                if t2 < 0:
+                    if defined_only:
+                        return None
+                    t2 = 0  # plain Offset clamps; IfDefined handled below
+                return eval_desc(d.args[0], t2, defined_only)
+            if d.op == "sum":
+                out = eval_desc(d.args[0], t)
+                for a in d.args[1:]:
+                    out = out + eval_desc(a, t)
+                return out
+            if d.op == "scale":
+                return d.args[0] * eval_desc(d.args[1], t)
+            if d.op == "const":
+                return np.full(d.args[1], d.args[0], np.float32)
+            if d.op == "replace_index":
+                if d.args[1] == "t":
+                    return eval_desc(d.args[0], int(d.args[2]))
+                return eval_desc(d.args[0], t)
+            if d.op == "round":
+                mod = d.args[1]
+                return eval_desc(d.args[0], (t // mod) * mod)
+            if d.op == "ifdefined":
+                # zeros when the (time-shifted) dependency is undefined
+                v = eval_desc(d.args[0], t, defined_only=True)
+                if v is None:
+                    return np.zeros(desc_dim(d.args[0]), np.float32)
+                return v
+            if d.op == "failover":
+                v = eval_desc(d.args[0], t, defined_only=True)
+                if v is None:
+                    return eval_desc(d.args[1], t)
+                return v
+            raise KaldiReadError(f"cannot evaluate descriptor {d.op}")
+
+        rows = [np.asarray(eval_node(output, t)) for t in range(T)]
+        return jnp.asarray(np.stack(rows))
 
 
 def _desc_to_str(d: Desc) -> str:

@@ -193,9 +193,13 @@ class FusedPipeline:
         """
         if not getattr(self, "_adaptive_decs", None):
             ladder = [k for k in self.adaptive_ladder if k < self.dec.params.max_active]
-            self._adaptive_decs = [
-                self.dec.clone_with_max_active(k) for k in ladder
-            ] + [self.dec]
+            clones = [self.dec.clone_with_max_active(k) for k in ladder]
+            for c in clones:
+                # the ladder already adapts K per segment; ragged expansion
+                # inside each clone would mostly re-adapt the same slack at
+                # 5x the compile cost (one lax.switch branch per bucket)
+                c.ragged = False
+            self._adaptive_decs = clones + [self.dec]
         decs = self._adaptive_decs
         T = audio.shape[0]
         if n_samples is None:
