@@ -98,9 +98,23 @@ class Lattice:
 
     # ------------------------------------------------------------ pruning
 
-    def prune(self, beam: float) -> "Lattice":
+    def copy(self) -> "Lattice":
+        out = Lattice()
+        out.arcs = [
+            LatArc(a.src, a.dst, a.olabel, a.graph_cost, a.acoustic_cost,
+                   a.is_frame, a.pdf)
+            for a in self.arcs
+        ]
+        out.out = [list(x) for x in self.out]
+        out.in_ = [list(x) for x in self.in_]
+        out.final = list(self.final)
+        out.node_frame = list(self.node_frame)
+        return out
+
+    def prune(self, beam: float, node_map_out=None) -> "Lattice":
         """Keep arcs on paths within `beam` of the best path (Kaldi
-        lattice-beam semantics)."""
+        lattice-beam semantics).  node_map_out (optional list) receives the
+        old->new node id mapping (-1 = dropped)."""
         n = self.num_nodes
         fwd = np.full(n, np.inf)
         fwd[0] = 0.0
@@ -117,6 +131,8 @@ class Lattice:
                 bwd[u] = min(bwd[u], a.cost + bwd[a.dst])
         best = float(np.min(fwd + bwd))
         if not np.isfinite(best):
+            if node_map_out is not None:
+                node_map_out[:] = list(range(n))
             return self
         keep_arc = [
             np.isfinite(fwd[a.src])
@@ -155,6 +171,8 @@ class Lattice:
                         a.pdf,
                     )
                 )
+        if node_map_out is not None:
+            node_map_out[:] = [int(x) for x in remap]
         return out
 
     def scale_graph(self, scale: float) -> "Lattice":
@@ -416,6 +434,7 @@ def build_lattice(
     use_final: bool = True,
     node_map_out: Optional[dict] = None,
     init_override=None,
+    init_map_out: Optional[dict] = None,
 ) -> Tuple[Lattice, Dict[int, int]]:
     """Assemble the lattice for one channel from decoder records.
 
@@ -472,6 +491,8 @@ def build_lattice(
         prev_nodes[k] = node
         prev_costs[k] = float(init_costs[k])
         prev_states[k] = int(init_states[k])
+        if init_map_out is not None:
+            init_map_out[k] = node
         lat.add_arc(
             LatArc(
                 src,
@@ -576,3 +597,52 @@ def build_lattice(
         for k, node in prev_nodes.items():
             lat.final[node] = 0.0
     return lat, prev_nodes
+
+
+def splice_lattices(
+    pre: Lattice,
+    pre_slot_nodes: Dict[int, int],
+    post: Lattice,
+    post_init_nodes: Dict[int, int],
+    frame_offset: int,
+) -> Tuple[Lattice, Dict[int, int]]:
+    """Concatenate `post` (a window lattice built with init_override at a
+    fold boundary) onto `pre` IN PLACE.
+
+    The windowed-lattice alternative to freezing the folded prefix to one
+    best path (the reference keeps alternatives for the whole utterance via
+    incremental determinization, model.h:24): post's level-0 anchor nodes
+    (post_init_nodes: slot -> post node) attach to pre's boundary nodes
+    (pre_slot_nodes: slot -> pre node) with zero-cost arcs — pre's path
+    cost to a boundary node already equals the absolute cost init_override
+    carried, so post's absolute-cost source arcs are dropped, not added.
+
+    pre's pseudo-finals (0.0 markers from use_final=False builds) are
+    cleared; post's finals and node frames (shifted by frame_offset) carry
+    over.  Returns (pre, node_map) with node_map[post_id] -> new id.
+    """
+    for i in range(len(pre.final)):
+        pre.final[i] = math.inf
+    nmap = {0: 0}
+    slot_of_node = {n: k for k, n in post_init_nodes.items()}
+    for u in range(1, post.num_nodes):
+        nmap[u] = pre.add_node(post.node_frame[u] + frame_offset)
+        if math.isfinite(post.final[u]):
+            pre.final[nmap[u]] = post.final[u]
+    for a in post.arcs:
+        if a.src == 0 and a.dst in slot_of_node:
+            k = slot_of_node[a.dst]
+            pn = pre_slot_nodes.get(k)
+            if pn is None:
+                continue  # boundary slot pruned out of pre: unreachable
+            pre.add_arc(
+                LatArc(pn, nmap[a.dst], a.olabel, 0.0, 0.0, False)
+            )
+        else:
+            pre.add_arc(
+                LatArc(
+                    nmap[a.src], nmap[a.dst], a.olabel,
+                    a.graph_cost, a.acoustic_cost, a.is_frame, a.pdf,
+                )
+            )
+    return pre, nmap

@@ -711,8 +711,17 @@ class BatchViterbi:
             lat_cb, lat_nsf = lat_prefix[0], lat_prefix[1]
             lat_prevm, lat_meta = lat_prefix[2], lat_prefix[3]
             lat_cost = self._bits_cost(lat_cb)
+            # threshold against the WORST surviving winner, not the frame
+            # best: every selected token must keep its inbound lattice arc
+            # (a token outside frame_best+lattice_beam can still ancestor
+            # the global best path; dropping its arc disconnects the
+            # lattice).  Final pruning is retrospective (Lattice.prune).
+            wk = jnp.max(
+                jnp.where(jnp.isfinite(new_cost), new_cost, -jnp.inf),
+                axis=1, keepdims=True,
+            )
             lkeep = (lat_cb < BIG_I32) & (
-                lat_cost <= new_cost[:, :1] + self.params.lattice_beam
+                lat_cost <= wk + self.params.lattice_beam
             )
             rec.update(
                 {
@@ -1050,8 +1059,15 @@ class BatchViterbi:
         }
         if self.lattice_records:
             lat_cost = self._bits_cost(lat_cb)
+            # worst-surviving-winner threshold (see _finish_from_candidates):
+            # keeps every selected token's inbound arc so the lattice stays
+            # connected; retrospective pruning happens in Lattice.prune
+            wk = jnp.max(
+                jnp.where(jnp.isfinite(new_cost), new_cost, -jnp.inf),
+                axis=1, keepdims=True,
+            )
             lkeep = (lat_cb < BIG_I32) & (
-                lat_cost <= new_cost[:, :1] + self.params.lattice_beam
+                lat_cost <= wk + self.params.lattice_beam
             )
             lat_pm_m = jnp.where(lkeep, lat_pm & PM_MASK, -1)
             lat_cost_m = jnp.where(lkeep, lat_cost, INF)
@@ -1146,8 +1162,12 @@ class BatchViterbi:
             lat_cb, lat_nsf = lat_prefix[0], lat_prefix[1]
             lat_prev, lat_ol, lat_arc = lat_prefix[2], lat_prefix[3], lat_prefix[4]
             lat_cost = self._bits_cost(lat_cb)
+            wk = jnp.max(
+                jnp.where(jnp.isfinite(c2), c2, -jnp.inf),
+                axis=1, keepdims=True,
+            )
             lkeep = (lat_cb < BIG_I32) & (
-                lat_cost <= c2[:, :1] + self.params.lattice_beam
+                lat_cost <= wk + self.params.lattice_beam
             )
             lvl_rec.update(
                 {

@@ -75,12 +75,23 @@ class Finisher:
                         model.word_boundary,
                     ))]
                 return out
-        from ..graph.lattice import build_lattice, rescore_lattice
+        from ..graph.lattice import build_lattice
 
         lat, _ = build_lattice(
             records, frontier, channel, dec, use_final=use_final,
             init_override=init_override,
         )
+        return self.finish_lattice(lat, n)
+
+    def finish_lattice(
+        self, lat, n: int
+    ) -> List[Tuple[float, List[Tuple[int, int, int, float]]]]:
+        """Rescore/prune/extract n-best word items from a built lattice
+        (also the entry point for spliced whole-utterance lattices from the
+        windowed-fold path, runtime/recognizer.py)."""
+        from ..graph.lattice import rescore_lattice
+
+        model = self.model
         if self.rescoring:
             # big-LM rescoring: subtract the graph's G, add the ARPA LM
             # and/or the RNNLM 0.5/0.5 mixture (reference recognizer.cc:680-705)

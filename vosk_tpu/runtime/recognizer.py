@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import enum
 import json
+import math
 from typing import List, Optional
 
 import numpy as np
@@ -192,6 +193,8 @@ class Recognizer:
         self._prefix_ols: list = []     # frozen (olabel, frame) before window
         self._prefix_pdfs: list = []    # frozen pdf alignment before window
         self._fold_init = None          # (states, costs) at the fold boundary
+        self._prefix_lat = None         # windowed prefix LATTICE (alternatives
+        self._prefix_slots = None       # survive folding); slot -> end node
 
     # ---------------------------------------------------------- options
 
@@ -323,6 +326,7 @@ class Recognizer:
         ]
         self._prefix_pdfs += pdfs[:drop_frames]
         last = self._records[n_drop - 1]
+        prev_init = self._fold_init
         if "pm" in last:  # v4 records: [T, B, K]
             self._fold_init = (
                 np.asarray(last["state"][-1, 0]).copy(),
@@ -333,9 +337,64 @@ class Recognizer:
                 np.asarray(last["f_state"][0, -1, -1]).copy(),
                 np.asarray(last["f_cost"][0, -1, -1]).copy(),
             )
+        self._extend_prefix_lattice(
+            self._records[:n_drop], prev_init, self._fold_init
+        )
         self._records = self._records[n_drop:]
         self._rec_frames = self._rec_frames[n_drop:]
         self._folded_frames += drop_frames
+
+    def _extend_prefix_lattice(self, dropped, prev_init, boundary) -> None:
+        """Windowed lattice: append the dropped record window's lattice to
+        the retained prefix lattice so ALTERNATIVES (n-best, confidences)
+        survive folding — the reference keeps a determinized lattice over
+        the whole utterance (incremental determinization, model.h:24); here
+        the prefix lattice is spliced window-by-window and beam-pruned at
+        each fold to bound memory."""
+        from ..graph.lattice import build_lattice, splice_lattices
+
+        fake_fr = {
+            "state": np.asarray(boundary[0])[None, :],
+            "cost": np.asarray(boundary[1])[None, :],
+        }
+        init_map: dict = {}
+        try:
+            lat_d, endmap = build_lattice(
+                dropped, fake_fr, 0, self.dec, use_final=False,
+                init_override=prev_init, init_map_out=init_map,
+            )
+        except Exception as e:  # never let prefix-lattice upkeep kill decode
+            log_warn(f"prefix lattice build failed, freezing prefix: {e}")
+            self._prefix_lat = None
+            self._prefix_slots = None
+            return
+        if self._prefix_lat is None:
+            self._prefix_lat, self._prefix_slots = lat_d, endmap
+        elif self._prefix_slots is not None:
+            self._prefix_lat, nmap = splice_lattices(
+                self._prefix_lat, self._prefix_slots, lat_d, init_map,
+                frame_offset=self._folded_frames,
+            )
+            self._prefix_slots = {k: nmap[n] for k, n in endmap.items()}
+        if self._prefix_lat is not None and self._prefix_slots is not None:
+            # bound memory: prune against the best boundary cost (finals
+            # 0.0 on boundary nodes for the forward-backward, then cleared)
+            lat = self._prefix_lat
+            for node in self._prefix_slots.values():
+                lat.final[node] = 0.0
+            node_map: list = []
+            pruned = lat.prune(
+                self.dec.params.lattice_beam, node_map_out=node_map
+            )
+            if pruned is not lat:
+                self._prefix_lat = pruned
+                self._prefix_slots = {
+                    k: node_map[n]
+                    for k, n in self._prefix_slots.items()
+                    if node_map[n] >= 0
+                }
+            for node in self._prefix_slots.values():
+                self._prefix_lat.final[node] = math.inf
 
     def _window_init_states(self):
         """[K] graph-state row of the frontier just before the retained
@@ -530,6 +589,12 @@ class Recognizer:
         per-word posteriors via the shared Finisher (native C++ library when
         built, Python lattice oracle otherwise).
         Returns [(cost, [(wid, f0, f1, conf)])] in utterance frames."""
+        if self._folded_frames > 0 and self._prefix_lat is not None:
+            out = self._spliced_lattice_paths(n, use_final)
+            if not out and use_final:
+                out = self._spliced_lattice_paths(n, use_final=False)
+            if out:
+                return out  # frames already absolute; no prefix merge
         out = self._finisher.paths(
             self._records,
             self._frontier,
@@ -553,6 +618,31 @@ class Recognizer:
                 init_override=self._fold_init,
             )
         return self._merge_prefix_paths(out)
+
+    def _spliced_lattice_paths(self, n: int, use_final: bool):
+        """Whole-utterance n-best/confidences across fold boundaries: the
+        retained window's lattice is spliced onto the prefix lattice so
+        alternatives and posteriors cover the full utterance (reference
+        incremental determinization, model.h:24).  Python lattice path —
+        the native fast path applies to unfolded utterances."""
+        from ..graph.lattice import build_lattice, splice_lattices
+
+        init_map: dict = {}
+        try:
+            win_lat, _ = build_lattice(
+                self._records, self._frontier, 0, self.dec,
+                use_final=use_final, init_override=self._fold_init,
+                init_map_out=init_map,
+            )
+            pre = self._prefix_lat.copy()
+            lat, _ = splice_lattices(
+                pre, dict(self._prefix_slots), win_lat, init_map,
+                frame_offset=self._folded_frames,
+            )
+        except Exception as e:
+            log_warn(f"spliced lattice failed, frozen-prefix fallback: {e}")
+            return []
+        return self._finisher.finish_lattice(lat, n)
 
     def _merge_prefix_paths(self, paths):
         """Shift window-relative word frames into utterance frames and
