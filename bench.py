@@ -37,6 +37,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+# persistent XLA compilation cache: the honest-scale programs (2M-state
+# graph, 5-bucket ragged switch) take tens of minutes to compile through
+# the tunnel; cached executables make reruns start in seconds
+try:
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("VOSK_TPU_XLA_CACHE", "/tmp/vosk_tpu_xla_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
 
 def run_config(B, states, seconds, max_active, *, realistic, lattice,
                num_pdfs, num_words, seed=0, adaptive=False, snr=2.0):

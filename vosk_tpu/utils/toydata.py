@@ -107,11 +107,13 @@ def build_toy_model(
     beam: float = 16.0,
     max_active: int = 2000,
     pitch: bool = False,
+    objective: str = "ce",  # "ce" | "chain" (LF-MMI, models/chain.py)
 ) -> None:
     """Train the toy AM on synthetic aligned data, compile the graph, save a
     native model dir.  pitch=True appends the 3 online-pitch dims to the
     features (the reference's conf/pitch.conf models, model.cc:265-276) and
-    trains the AM on them."""
+    trains the AM on them.  objective="chain" trains with LF-MMI (the
+    reference recipe's objective, training/run.sh stage 4)."""
     from ..models.train import train_frame_ce
 
     rng = np.random.default_rng(seed)
@@ -159,7 +161,13 @@ def build_toy_model(
         time_strides=strides,
         subsample=ss,
     )
-    params = train_frame_ce(am_cfg, fpad, lpad, steps=train_steps, seed=seed)
+    if objective == "chain":
+        from ..models.chain import train_chain
+
+        params = train_chain(am_cfg, fpad, lpad, steps=train_steps, seed=seed)
+    else:
+        params = train_frame_ce(
+            am_cfg, fpad, lpad, steps=train_steps, seed=seed)
 
     # ----- language model: bigram over the training sentences
     est = LanguageModelEstimator(LanguageModelOptions(2, 0.5))
