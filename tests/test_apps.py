@@ -57,6 +57,15 @@ def test_cli_srt(model_dir, wav_file, tmp_path):
     assert "one five zero" in content.replace("\n", " ")
 
 
+def test_cli_webvtt(model_dir, wav_file, tmp_path):
+    out = tmp_path / "out.vtt"
+    run_cli(["-m", model_dir, "-i", wav_file, "-o", str(out), "-t", "webvtt"])
+    content = out.read_text()
+    assert content.startswith("WEBVTT")
+    assert "-->" in content and "." in content.split("-->")[0]
+    assert "one five zero" in content.replace("\n", " ")
+
+
 def test_cli_directory(model_dir, wav_file, tmp_path):
     in_dir = tmp_path / "in"
     in_dir.mkdir()

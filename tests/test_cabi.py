@@ -47,7 +47,7 @@ def test_bindings_symbol_parity(artifacts):
     assert binding_files
     referenced = set()
     for f in binding_files:
-        if f.suffix in (".js", ".go", ".java", ".cs"):
+        if f.suffix in (".js", ".go", ".java", ".cs", ".swift"):
             referenced |= set(re.findall(r"\b(vosk_\w+)\b", f.read_text()))
     assert referenced, "no binding sources found"
     referenced -= {"vosk_api", "vosk_tpu"}  # header/library names, not symbols

@@ -1,7 +1,7 @@
 """`vosk-transcriber` CLI — argument parity with the reference
 (python/vosk/transcriber/cli.py): -i/-o files or directories, --model/
 --model-name/--lang model selection, --server websocket mode, --tasks
-parallelism, --output-type txt|srt, --log-level.
+parallelism, --output-type txt|srt|webvtt, --log-level.
 """
 from __future__ import annotations
 
@@ -28,7 +28,7 @@ parser.add_argument("--model-name", "-n", type=str, help="select model by name")
 parser.add_argument("--lang", "-l", default=None, type=str, help="select model by language")
 parser.add_argument("--input", "-i", type=str, help="audiofile")
 parser.add_argument("--output", "-o", default="", type=str, help="optional output file")
-parser.add_argument("--output-type", "-t", default="txt", type=str, help="txt or srt")
+parser.add_argument("--output-type", "-t", default="txt", type=str, help="txt, srt or webvtt")
 parser.add_argument("--tasks", "-ts", default=10, type=int, help="parallel tasks")
 parser.add_argument("--log-level", default="INFO", help="logging level")
 

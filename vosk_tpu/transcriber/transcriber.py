@@ -41,6 +41,16 @@ def compose_srt(subtitles) -> str:
     return "\n".join(out)
 
 
+def compose_webvtt(subtitles) -> str:
+    """WebVTT composer (reference examples emit webvtt via the webvtt-py
+    package; composed inline here like srt)."""
+    out = ["WEBVTT", ""]
+    for start, end, text in subtitles:
+        ts = lambda s: _srt_timestamp(s).replace(",", ".")
+        out.append(f"{ts(start)} --> {ts(end)}\n{text}\n")
+    return "\n".join(out)
+
+
 class Transcriber:
     def __init__(self, args):
         self.args = args
@@ -133,7 +143,7 @@ class Transcriber:
 
     def format_result(self, result, words_per_line: int = 7) -> str:
         final = ""
-        if self.args.output_type == "srt":
+        if self.args.output_type in ("srt", "webvtt"):
             subs = []
             for res in result:
                 if "result" not in res:
@@ -148,7 +158,8 @@ class Transcriber:
                             " ".join(w["word"] for w in line),
                         )
                     )
-            final = compose_srt(subs)
+            final = (compose_srt(subs) if self.args.output_type == "srt"
+                     else compose_webvtt(subs))
         elif self.args.output_type == "txt":
             final = " ".join(part["text"] for part in result if part.get("text")) + " " \
                 if any(p.get("text") for p in result) else ""
