@@ -87,12 +87,20 @@ def run_config(B, states, seconds, max_active, *, realistic, lattice,
         # see tools/profile_v3.py notes) — neither the trivially-easy nor
         # the worst-case-uniform regime.
         st = pipe.init_state()
-        _, ll, _ = pipe.am._process_chunk_impl(
-            pipe.params, st["am"],
-            *pipe.ex._extract_chunk_impl(st["feat"], audio_dev[0], None,
-                                         np.full((B,), S, np.int32))[1:],
-            None,
-        )
+
+        # ONE jitted probe call — the raw impls dispatch op-by-op, which
+        # costs seconds per op through the axon tunnel (tens of minutes
+        # for the whole feature+AM graph; this was the bench "hang")
+        @jax.jit
+        def _probe(params, st, a, n):
+            _, feats, fvalid = pipe.ex._extract_chunk_impl(
+                st["feat"], a, None, n)
+            _, ll, _ = pipe.am._process_chunk_impl(
+                params, st["am"], feats, fvalid, None)
+            return ll
+
+        ll = _probe(pipe.params, st, audio_dev[0],
+                    np.full((B,), S, np.int32))
         fd = ll.shape[1]
         lb = make_plausible_loglikes(
             model.graph, num_pdfs, B, n_chunks * fd, snr=snr, seed=seed
@@ -137,7 +145,7 @@ def main() -> None:
     # 48ch=38, 64ch=48, 96ch=61, 128ch=19 audio-s/s (records spill HBM)
     B = int(os.environ.get("VOSK_TPU_BENCH_B", "96"))
     states = int(os.environ.get("VOSK_TPU_BENCH_STATES", "2000000"))
-    seconds = float(os.environ.get("VOSK_TPU_BENCH_SECONDS", "2"))
+    seconds = float(os.environ.get("VOSK_TPU_BENCH_SECONDS", "4"))
     max_active = int(os.environ.get("VOSK_TPU_BENCH_MAX_ACTIVE", "7000"))
 
     # HEADLINE: fixed max-active at the reference operating point.  The

@@ -34,13 +34,17 @@ rng = np.random.default_rng(0)
 
 # probe frames/chunk
 st = pipe.init_state()
-_, ll0, _ = pipe.am._process_chunk_impl(
-    pipe.params, st["am"],
-    *pipe.ex._extract_chunk_impl(
-        st["feat"], jnp.zeros((B, S), jnp.float32), None,
-        np.full((B,), S, np.int32))[1:],
-    None,
-)
+
+
+@jax.jit
+def _probe(params, st, a, n):
+    _, feats, fvalid = pipe.ex._extract_chunk_impl(st["feat"], a, None, n)
+    _, ll, _ = pipe.am._process_chunk_impl(params, st["am"], feats, fvalid, None)
+    return ll
+
+
+ll0 = _probe(pipe.params, st, jnp.zeros((B, S), jnp.float32),
+             np.full((B,), S, np.int32))
 fd = ll0.shape[1]
 lb = make_plausible_loglikes(model.graph, 6008, B, T * fd, snr=2.0, seed=0)
 lls = jnp.asarray(lb.reshape(T, fd, B, 6008).swapaxes(1, 2))

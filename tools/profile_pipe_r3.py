@@ -61,12 +61,15 @@ def main():
         audio = jnp.asarray(
             (rng.standard_normal((T, B, S)) * 500).astype(np.float32))
         st = pipe.init_state()
-        _, ll, _ = pipe.am._process_chunk_impl(
-            pipe.params, st["am"],
-            *pipe.ex._extract_chunk_impl(st["feat"], audio[0], None,
-                                         np.full((B,), S, np.int32))[1:],
-            None,
-        )
+        @jax.jit
+        def _probe(params, st, a, n):
+            _, feats, fvalid = pipe.ex._extract_chunk_impl(
+                st["feat"], a, None, n)
+            _, ll, _ = pipe.am._process_chunk_impl(
+                params, st["am"], feats, fvalid, None)
+            return ll
+
+        ll = _probe(pipe.params, st, audio[0], np.full((B,), S, np.int32))
         fd = ll.shape[1]
         lb = make_plausible_loglikes(model.graph, 6008, B, T * fd, snr=2.0,
                                      seed=0)
