@@ -200,3 +200,121 @@ def test_fst_binary_roundtrip(tmp_path):
     assert fst.arcs[0] == [(1, 7, 0.5, 1)]
     assert fst.arcs[1] == [(2, 0, 0.25, 0)]
     assert fst.final[1] == 0.125
+
+
+def test_compressed_matrix_golden_bytes():
+    """Hand-assembled CompressedMatrix bytes (Kaldi matrix/compressed-matrix.cc
+    layout, consumed by the reference via CMVN stats at model.cc:265-276),
+    decompressed against the documented formula field by field."""
+    import struct
+
+    # format 1 ("CM"): global header (min, range, rows, cols) + per-column
+    # uint16 percentile headers + uint8 data stored COLUMN-major.
+    minv, rng_ = -2.0, 10.0
+    rows, cols = 3, 2
+    buf = io.BytesIO()
+    buf.write(b"CM ")
+    buf.write(struct.pack("<ffii", minv, rng_, rows, cols))
+    # col 0: p0=0, p25=16384, p75=49152, p100=65535
+    # col 1: p0=1000, p25=2000, p75=3000, p100=4000
+    buf.write(struct.pack("<4H", 0, 16384, 49152, 65535))
+    buf.write(struct.pack("<4H", 1000, 2000, 3000, 4000))
+    # col-major data: col0 rows = [0, 64, 200]; col1 rows = [64, 192, 255]
+    buf.write(bytes([0, 64, 200, 64, 192, 255]))
+    buf.seek(0)
+    r = kaldiio.BinaryReader(io.BufferedReader(io.BytesIO(buf.getvalue())))
+    got = r.read_matrix()
+    assert got.shape == (rows, cols)
+
+    def u2f(u):
+        return minv + u * (rng_ / 65535.0)
+
+    # CharToFloat: v<=64 -> p0+(p25-p0)*v/64; 64<v<=192 -> p25+(p75-p25)*
+    # (v-64)/128; v>192 -> p75+(p100-p75)*(v-192)/63
+    p = [u2f(np.float64(x)) for x in (0, 16384, 49152, 65535)]
+    exp00 = p[0]
+    exp10 = p[1]  # v=64 is the p25 knee
+    exp20 = p[2] + (p[3] - p[2]) * (200 - 192) / 63.0
+    q = [u2f(np.float64(x)) for x in (1000, 2000, 3000, 4000)]
+    exp01 = q[1]
+    exp11 = q[1] + (q[2] - q[1]) * (192 - 64) / 128.0  # v=192 -> p75
+    exp21 = q[2] + (q[3] - q[2]) * (255 - 192) / 63.0  # v=255 -> p100
+    np.testing.assert_allclose(
+        got, np.array([[exp00, exp01], [exp10, exp11], [exp20, exp21]],
+                      np.float32), rtol=0, atol=1e-6)
+
+    # format 2 ("CM2"): uint16 row-major, v = min + u*(range/65535)
+    buf = io.BytesIO()
+    buf.write(b"CM2 ")
+    buf.write(struct.pack("<ffii", 1.0, 2.0, 2, 2))
+    buf.write(struct.pack("<4H", 0, 32768, 65535, 16384))
+    buf.seek(0)
+    r = kaldiio.BinaryReader(io.BufferedReader(io.BytesIO(buf.getvalue())))
+    got2 = r.read_matrix()
+    np.testing.assert_allclose(
+        got2,
+        1.0 + np.array([[0, 32768], [65535, 16384]]) * (2.0 / 65535.0),
+        rtol=0, atol=1e-6)
+
+    # format 3 ("CM3"): uint8 row-major, v = min + u*(range/255)
+    buf = io.BytesIO()
+    buf.write(b"CM3 ")
+    buf.write(struct.pack("<ffii", -1.0, 4.0, 2, 2))
+    buf.write(bytes([0, 128, 255, 64]))
+    buf.seek(0)
+    r = kaldiio.BinaryReader(io.BufferedReader(io.BytesIO(buf.getvalue())))
+    got3 = r.read_matrix()
+    np.testing.assert_allclose(
+        got3, -1.0 + np.array([[0, 128], [255, 64]]) * (4.0 / 255.0),
+        rtol=0, atol=1e-6)
+
+
+def test_compressed_matrix_roundtrip_precision():
+    """write_compressed_matrix -> read_matrix round-trip at Kaldi's own
+    quantization error bounds for each format."""
+    rng = np.random.default_rng(7)
+    m = (rng.standard_normal((20, 6)) * 3.0).astype(np.float32)
+    span = float(m.max() - m.min())
+    for fmt, tol in ((1, None), (2, span / 65535.0 * 1.01), (3, span / 255.0 * 1.01)):
+        got = roundtrip(
+            lambda w, fmt=fmt: w.write_compressed_matrix(m, fmt=fmt),
+            lambda r: r.read_matrix(),
+        )
+        assert got.shape == m.shape
+        if fmt == 1:
+            # per-column percentile coding: inner quartiles are fine-coded;
+            # bound by the worst per-column segment width / 63
+            for j in range(m.shape[1]):
+                c = np.sort(m[:, j])
+                qn = len(c) // 4
+                seg = max(c[qn] - c[0], c[3 * qn] - c[qn], c[-1] - c[3 * qn])
+                err = np.abs(got[:, j] - m[:, j]).max()
+                assert err <= seg / 63.0 + span / 65535.0 * 2 + 1e-5
+        else:
+            np.testing.assert_allclose(got, m, rtol=0, atol=tol)
+
+    # automatic mode: >8 rows -> format 1 token "CM"
+    buf = io.BytesIO()
+    kaldiio.BinaryWriter(buf).write_compressed_matrix(m)
+    assert buf.getvalue().startswith(b"CM ")
+    small = m[:4]
+    buf = io.BytesIO()
+    kaldiio.BinaryWriter(buf).write_compressed_matrix(small)
+    assert buf.getvalue().startswith(b"CM2 ")
+
+    # constant matrix: range guard, no NaNs
+    const = np.full((10, 3), 2.5, np.float32)
+    got = roundtrip(lambda w: w.write_compressed_matrix(const),
+                    lambda r: r.read_matrix())
+    np.testing.assert_allclose(got, const, rtol=0, atol=1e-4)
+
+
+def test_compressed_matrix_via_file(tmp_path):
+    """CM matrices read through the standard file entry point (the path
+    CMVN stats take: read_kaldi_matrix on global_cmvn.stats)."""
+    m = (np.arange(30, dtype=np.float32).reshape(10, 3) * 0.37) - 4.0
+    p = tmp_path / "cmvn.stats"
+    kaldiio.write_kaldi_object(
+        p, lambda w: w.write_compressed_matrix(m, fmt=1))
+    got = kaldiio.read_kaldi_matrix(p)
+    assert np.abs(got - m).max() < 0.2

@@ -105,26 +105,36 @@ def main():
             return scan
         return mk_scan
 
+    def rtz(ll):
+        # runtime-zero that depends on the per-frame input: keeps gathers of
+        # the (otherwise loop-invariant) frontier inside the scan so LICM
+        # can't hoist them (ADVICE r4: `& 0` folds under the simplifier)
+        return (jnp.sum(ll) > jnp.float32(1e30)).astype(jnp.int32)
+
     def rows_only(fr_, ll):
-        rows = dec.em_pack[fr_["state"]]
+        rows = dec.em_pack[fr_["state"] + rtz(ll)]
         return fr_, jnp.sum(rows[:, :1, :1])
 
     def rows_unpack(fr_, ll):
-        w, nsf, sil, pdf = dec._unpack_rows_v4(fr_["state"])
+        w, nsf, sil, pdf = dec._unpack_rows_v4(fr_["state"] + rtz(ll))
         return fr_, jnp.sum(w[:, :1]) + jnp.sum(pdf[:, :1].astype(jnp.float32))
 
     def acoustic_only(fr_, ll):
         from vosk_tpu.ops.gather import onehot_gather
-        w, nsf, sil, pdf = dec._unpack_rows_v4(fr_["state"])
+        w, nsf, sil, pdf = dec._unpack_rows_v4(fr_["state"] + rtz(ll))
         ac = onehot_gather(ll, pdf)
         return fr_, jnp.sum(ac[:, :1])
 
     def expand_only(fr_, ll):
-        cbits, nsm, pm = dec._expand_v4(fr_["state"], fr_["cost"], ll)
+        z = rtz(ll)
+        cbits, nsm, pm = dec._expand_v4(
+            fr_["state"] + z, fr_["cost"], ll)
         return fr_, jnp.sum(cbits[:, :1].astype(jnp.float32))
 
     def exp_sortA(fr_, ll):
-        cbits, nsm, pm = dec._expand_v4(fr_["state"], fr_["cost"], ll)
+        z = rtz(ll)
+        cbits, nsm, pm = dec._expand_v4(
+            fr_["state"] + z, fr_["cost"], ll)
         sA = jax.lax.sort((cbits, nsm, pm), num_keys=1, dimension=1)
         return fr_, jnp.sum(sA[0][:, :1].astype(jnp.float32))
 

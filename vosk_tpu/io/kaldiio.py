@@ -200,6 +200,72 @@ class BinaryWriter:
         self.write_basic_int(m.shape[1])
         self.s.write(np.asarray(m, dtype="<f4").tobytes())
 
+    def write_compressed_matrix(self, m: np.ndarray, fmt: int = 0) -> None:
+        """Kaldi CompressedMatrix writer (matrix/compressed-matrix.cc
+        CompressedMatrix::CopyFromMat semantics; consumed by the reference
+        via CMVN stats and compressed model matrices, model.cc:265-276).
+
+        fmt: 1 = one-byte with per-column percentile headers ("CM"),
+        2 = two-byte ("CM2"), 3 = one-byte scalar ("CM3"); 0 = automatic
+        (Kaldi picks format 1 when num_rows > 8, else format 2).
+        """
+        m = np.asarray(m, np.float32)
+        rows, cols = m.shape
+        if fmt == 0:
+            fmt = 1 if rows > 8 else 2
+        minv = float(m.min()) if m.size else 0.0
+        rng_ = (float(m.max()) - minv) if m.size else 1.0
+        if rng_ <= 0.0:
+            rng_ = 1.0e-5  # Kaldi guard for constant matrices
+        self.write_token({1: "CM", 2: "CM2", 3: "CM3"}[fmt])
+        self.s.write(struct.pack("<ffii", minv, rng_, rows, cols))
+
+        def to_u16(v):
+            f = np.clip((v - minv) / rng_, 0.0, 1.0)
+            return np.minimum((f * 65535.0 + 0.499).astype(np.int64), 65535)
+
+        if fmt == 2:
+            self.s.write(to_u16(m).astype("<u2").tobytes())
+            return
+        if fmt == 3:
+            f = np.clip((m - minv) / rng_, 0.0, 1.0)
+            self.s.write(
+                np.minimum((f * 255.0 + 0.499).astype(np.int64), 255)
+                .astype(np.uint8).tobytes()
+            )
+            return
+        # format 1: per-column percentile headers (uint16 x4), then uint8
+        # data stored column-major.  Header ordering is strict (Kaldi
+        # enforces p0 <= 65532, p25 in [p0+1, 65533], p75 in [p25+1, 65534],
+        # p100 >= p75+1 so the interpolation denominators never vanish).
+        q = max(rows // 4, 1)
+        heads = np.zeros((cols, 4), np.uint16)
+        data = np.zeros((cols, rows), np.uint8)
+        for j in range(cols):
+            col = np.sort(m[:, j])
+            u = to_u16(
+                np.array([col[0], col[min(q, rows - 1)],
+                          col[min(3 * q, rows - 1)], col[rows - 1]])
+            )
+            p0 = min(int(u[0]), 65532)
+            p25 = min(max(int(u[1]), p0 + 1), 65533)
+            p75 = min(max(int(u[2]), p25 + 1), 65534)
+            p100 = max(int(u[3]), p75 + 1)
+            heads[j] = (p0, p25, p75, p100)
+            f0, f25, f75, f100 = (
+                minv + p * (rng_ / 65535.0) for p in (p0, p25, p75, p100)
+            )
+            c = m[:, j].astype(np.float64)
+            lo = np.clip((c - f0) / (f25 - f0), 0.0, 1.0) * 64.0
+            mid = 64.0 + np.clip((c - f25) / (f75 - f25), 0.0, 1.0) * 128.0
+            hi = 192.0 + np.clip((c - f75) / (f100 - f75), 0.0, 1.0) * 63.0
+            enc = np.where(c < f25, lo, np.where(c < f75, mid, hi))
+            data[j] = np.minimum((enc + 0.499).astype(np.int64), 255).astype(
+                np.uint8
+            )
+        self.s.write(heads.astype("<u2").tobytes())
+        self.s.write(data.tobytes())
+
 
 def open_kaldi(path) -> tuple[BinaryReader, bool]:
     """Open a Kaldi file; returns (reader, is_binary).  Text-mode files are
