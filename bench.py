@@ -85,7 +85,7 @@ def run_config(B, states, seconds, max_active, *, realistic, lattice,
         # probe decode-frame count per chunk, then build structured scores.
         # snr=2.0 is tuned so live-token counts match real decoding at
         # beam 13 / max-active 7000 (mean ~1.5k, p50 ~200, p95 at the cap;
-        # see tools/profile_v3.py notes) — neither the trivially-easy nor
+        # see tools/profile_live.py notes) — neither the trivially-easy nor
         # the worst-case-uniform regime.
         st = pipe.init_state()
 
@@ -159,7 +159,8 @@ def run_config(B, states, seconds, max_active, *, realistic, lattice,
     assert np.isfinite(best_h[-1]).any(), "decode produced no live tokens"
     frames_per_drive = None
     if ll_bias is not None:
-        frames_per_drive = int(np.prod(ll_bias.shape[:2]))
+        # ll_bias: [n_chunks, B, frames_per_chunk, P]
+        frames_per_drive = int(ll_bias.shape[0] * ll_bias.shape[2])
     stats = {"drives": drives, "window_audio_s": round(audio_seconds, 1),
              "wall_s": round(dt, 2)}
     if len(done_t) >= 3:

@@ -14,29 +14,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-ITERS = 10
 B, K, M, S = 96, 7000, 8, 2_000_000
 E = K * M
 
 
-def measure(name, fn, *args):
-    @jax.jit
-    def run(*a):
-        def body(c, _):
-            out = fn(c, *a)
-            return (c + out * 1e-30) % 1.0, ()
-
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=ITERS)
-        return c
-
-    np.asarray(run(*args))  # compile
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(run(*args))
-        best = min(best, (time.perf_counter() - t0) / ITERS)
-    print(f"{name:16s} {best*1e3:8.3f} ms", flush=True)
-    return best
+from _mbutil import measure, carry_dep  # noqa: E402
 
 
 def main():
@@ -47,7 +29,7 @@ def main():
     idx = jnp.asarray(rng.integers(0, S, (B, K)).astype(np.int32))
 
     def rowg(c, t, ix):
-        rows = t[ix + (c.astype(jnp.int32) & 0)]
+        rows = t[ix + carry_dep(c)]
         return jnp.sum(rows[:, :1, :1])
 
     for lanes in (16, 8, 4, 2, 1):
@@ -59,7 +41,7 @@ def main():
     tbl1 = jnp.asarray(rng.standard_normal((S + 1,)).astype(np.float32))
 
     def eg(c, t, ix):
-        v = t[ix + (c.astype(jnp.int32) & 0)]
+        v = t[ix + carry_dep(c)]
         return jnp.sum(v[:, :1])
 
     measure("elemg-7k", eg, tbl1, idx)

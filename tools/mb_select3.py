@@ -25,32 +25,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-ITERS = 20
 B, K, M, P, S = 96, 7000, 8, 6008, 2_000_000
 E = K * M
 
 
-def measure(name, fn, *args):
-    """fn(c, *args) -> scalar-ish carry contribution; runs ITERS times in one
-    scan with carry-dependence so XLA can't hoist; tunnel dispatch amortized."""
+from functools import partial as _partial
+from _mbutil import carry_dep  # noqa: E402
+from _mbutil import measure as _measure  # noqa: E402
 
-    @jax.jit
-    def run(*a):
-        def body(c, _):
-            out = fn(c, *a)
-            return (c + out * 1e-30) % 1.0, ()
-
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=ITERS)
-        return c
-
-    np.asarray(run(*args))  # compile
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(run(*args))
-        best = min(best, (time.perf_counter() - t0) / ITERS)
-    print(f"{name:16s} {best*1e3:8.3f} ms")
-    return best
+ITERS = 20
+measure = _partial(_measure, iters=ITERS)
 
 
 def main():

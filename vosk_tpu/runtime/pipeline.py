@@ -183,7 +183,7 @@ class FusedPipeline:
         beam pruning keeps fewer tokens live, decoding at a smaller
         max_active variant is identical and several times cheaper at the
         honest operating point (the frame step scales ~linearly in K; see
-        tools/profile_v3.py).  Between segments the host reads the live
+        tools/profile_r4stage.py).  Between segments the host reads the live
         token count and picks the smallest variant k with live <= headroom*k
         for the next segment; a segment that fills a small variant steps up
         on the next boundary (transiently equivalent to a tighter
