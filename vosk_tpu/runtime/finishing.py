@@ -44,7 +44,11 @@ class Finisher:
         from . import native_lattice
 
         model, dec = self.model, self.dec
-        if not self.rescoring and native_lattice.available() and records:
+        # n == 1 routes through finish_lattice for the MBR sausage decode
+        # (reference MbrResult); the native fast path extracts n-best
+        # alternatives, whose confidences are per-path (NbestResult).
+        if (n > 1 and not self.rescoring and native_lattice.available()
+                and records):
             out = native_lattice.nbest_native(
                 records,
                 frontier,
@@ -59,21 +63,6 @@ class Finisher:
                 init_override=init_override,
             )
             if out:
-                if model.word_boundary and n == 1 and out[0][1]:
-                    # realign the one-best via the viterbi pdf alignment
-                    # (reference WordAlignLattice, recognizer.cc:435)
-                    from .wordalign import realign_items
-
-                    _, _, pdfs = dec.traceback(
-                        records, frontier, channel, use_final=use_final,
-                        at_start=init_override is None,
-                        init_states=None if init_override is None
-                        else init_override[0],
-                    )
-                    out = [(out[0][0], realign_items(
-                        out[0][1], pdfs, model.phone_of_pdf,
-                        model.word_boundary,
-                    ))]
                 return out
         from ..graph.lattice import build_lattice
 
@@ -82,6 +71,52 @@ class Finisher:
             init_override=init_override,
         )
         return self.finish_lattice(lat, n)
+
+    def _finish_mbr(self, lat):
+        """One-best items via MBR sausage decoding on the pruned lattice.
+
+        Words and confidences come from the sausage bins (the MBR
+        hypothesis, which may differ from the lattice best path — that is
+        the point of MBR decoding).  Spans: when the MBR words coincide
+        with the best path's words, keep the Viterbi spans + word-boundary
+        realignment (the reference word-aligns the lattice BEFORE MBR,
+        recognizer.cc:435, so its MBR times are boundary-exact too);
+        otherwise fall back to the sausage's expected times."""
+        from ..graph.mbr import mbr_decode
+
+        model = self.model
+        words = mbr_decode(lat)[0]
+        if not words:
+            return None
+        best_cost, best_path = lat.shortest()
+        path_items = None
+        if best_path and [w for w, _, _, _ in words] == [
+            lat.arcs[ai].olabel for ai in best_path if lat.arcs[ai].olabel
+        ]:
+            raw = lat.path_words(best_path)
+            pdfs = [lat.arcs[ai].pdf for ai in best_path if lat.arcs[ai].is_frame]
+            sil = set(int(x) for x in model.silence_pdfs)
+            path_items = []
+            for wid, f0, f1 in raw:
+                while f1 > f0 + 1 and f1 - 1 < len(pdfs) and pdfs[f1 - 1] in sil:
+                    f1 -= 1
+                path_items.append((wid, f0, f1, 1.0))
+            if model.word_boundary:
+                from .wordalign import realign_items
+
+                path_items = realign_items(
+                    path_items, pdfs, model.phone_of_pdf,
+                    model.word_boundary,
+                )
+        items = []
+        for i, (wid, conf, tb, te) in enumerate(words):
+            if path_items is not None:
+                _, f0, f1, _ = path_items[i]
+            else:
+                f0 = int(round(tb))
+                f1 = max(int(round(te)), f0 + 1)
+            items.append((wid, f0, f1, float(min(conf, 1.0))))
+        return [(best_cost, items)]
 
     def finish_lattice(
         self, lat, n: int
@@ -120,6 +155,13 @@ class Finisher:
         # reference applies GraphLatticeScale(0.9) before result extraction
         lat.scale_graph(0.9)
         lat = lat.prune(self.lattice_beam)
+        if n == 1:
+            # no-alternatives path: true MBR sausage decode, the reference's
+            # MbrResult mechanism (recognizer.cc:440-444, Kaldi
+            # lat/sausages.cc) — words/confidences from the sausage bins
+            out = self._finish_mbr(lat)
+            if out is not None:
+                return out
         post = lat.arc_posteriors()
         # sausage-style confidence pool: all word-arc occurrences by label
         # with their time anchors, so competing alignments of the same word

@@ -69,9 +69,29 @@ def run_recipe(
     from ..models.chain import train_chain
     from ..utils.wer import score_corpus
 
-    # ---- stage 0: features + frame alignments
-    log("stage 0: data prep (features + alignments)")
+    # ---- stage 0: features + frame alignments.  Utterances may come with
+    # phone alignments (synthesis oracle / forced-align) or with
+    # phn=None — then the flat-start GMM bootstrap produces them from the
+    # transcripts alone (reference run.sh:31-60 mono GMM stages).
     ss = cfg.subsample
+    if any(phn is None for _, _, phn in train_utts):
+        log("stage 0a: flat-start GMM bootstrap alignment (run.sh:31-60)")
+        from .gmm import flat_start_align
+
+        boot = flat_start_align(
+            [wav for _, wav, _ in train_utts],
+            [[words.find(w) for w in ws] for ws, _, _ in train_utts],
+            lexicon.prons,
+            num_phones=len(phones),
+            sil_phone=sil_phone,
+            extractor=extractor,
+            log=log,
+        )
+        train_utts = [
+            (ws, wav, phn if phn is not None else boot[i])
+            for i, (ws, wav, phn) in enumerate(train_utts)
+        ]
+    log("stage 0: data prep (features + alignments)")
     utt_feats, utt_labels = [], []
     for ws, wav, phn in train_utts:
         feats = np.asarray(extractor.extract(wav[None]))[0]
