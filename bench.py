@@ -73,6 +73,9 @@ def run_config(B, states, seconds, max_active, *, realistic, lattice,
         collect_records=lattice,
         lattice_records=lattice,
         frame_step=os.environ.get("VOSK_TPU_BENCH_STEP", "auto"),
+        cap_m=int(os.environ.get("VOSK_TPU_BENCH_CAP_M", "0")) or None,
+        dedup_slack=float(os.environ.get("VOSK_TPU_BENCH_SLACK", "0")) or None,
+        ragged_unroll=bool(int(os.environ.get("VOSK_TPU_BENCH_UNROLL", "0"))),
     )
     S = pipe.chunk_samples
     n_chunks = int(seconds * model.config.sample_rate) // S

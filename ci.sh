@@ -34,4 +34,11 @@ test -x core/test_vosk && test -x core/test_vosk_mt
 echo "== [4/4] driver entry contract =="
 python __graft_entry__.py
 
+# release packaging (manylinux wheels, Android ABIs) lives in packaging/;
+# those scripts need docker/NDK toolchains absent from this image — they
+# are authored + shellcheck-level validated only (packaging/*.sh headers
+# document status; reference analogues travis/build-wheels.sh,
+# android/lib/build-vosk.sh)
+bash -n packaging/build-wheels.sh packaging/build-android.sh
+
 echo "CI OK"

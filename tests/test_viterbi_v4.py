@@ -211,3 +211,35 @@ def test_v4_ragged_matches_full():
     for k in r1:
         np.testing.assert_array_equal(np.asarray(r1[k]), np.asarray(r2[k]),
                                       err_msg=f"records[{k}]")
+
+
+def test_v4_ragged_unrolled_matches_scan():
+    """The unrolled channel-group variant (concurrent group scheduling)
+    must be BIT-exact vs the lax.scan ragged step."""
+    from vosk_tpu.utils.benchdata import make_bench_graph
+
+    g = make_bench_graph(num_states=20_000, num_pdfs=64, num_words=500,
+                         eps_fraction=0.0, seed=7)
+    params = DecodeParams(beam=10.0, max_active=2048, lattice_beam=6.0)
+    B, T = 16, 8
+    rng = np.random.default_rng(13)
+    ll = rng.standard_normal((B, T, 64)).astype(np.float32)
+    ll[: B // 2] *= 6.0
+
+    d_scan = BatchViterbi(g, params, frame_step="v4", pack="packed16",
+                          lattice_records=True, ragged=True)
+    d_unr = BatchViterbi(g, params, frame_step="v4", pack="packed16",
+                         lattice_records=True, ragged=True)
+    d_unr.ragged_unroll = True
+    assert d_scan._ragged_G(B) > 1
+
+    f1, r1, b1, bf1 = d_scan.decode_chunk(d_scan.init_frontier(B), ll)
+    f2, r2, b2, bf2 = d_unr.decode_chunk(d_unr.init_frontier(B), ll)
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+    np.testing.assert_array_equal(np.asarray(bf1), np.asarray(bf2))
+    for k in f1:
+        np.testing.assert_array_equal(np.asarray(f1[k]), np.asarray(f2[k]),
+                                      err_msg=f"frontier[{k}]")
+    for k in r1:
+        np.testing.assert_array_equal(np.asarray(r1[k]), np.asarray(r2[k]),
+                                      err_msg=f"records[{k}]")

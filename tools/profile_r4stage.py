@@ -34,6 +34,7 @@ from vosk_tpu.utils.benchdata import make_realistic_graph, make_plausible_loglik
 B = int(os.environ.get("B", "96"))
 STATES = int(os.environ.get("STATES", "2000000"))
 K = int(os.environ.get("K", "7000"))
+CAP_M = int(os.environ.get("CAP_M", "0")) or None
 T_LO, T_HI = 4, 20
 P = 6008
 
@@ -66,12 +67,17 @@ def main():
     dec = BatchViterbi(
         graph, DecodeParams(beam=13.0, max_active=K, lattice_beam=6.0),
         frame_step="auto", lattice_records=True, optimize_graph=True,
+        cap_m=CAP_M,
+    )
+    dec_nolat = BatchViterbi(
+        dec.graph, DecodeParams(beam=13.0, max_active=K, lattice_beam=6.0),
+        frame_step="auto", lattice_records=False, optimize_graph=False,
     )
     print(f"M={dec.M} S={dec.S} E={dec.E} K2={dec.K2} R={dec.R} "
           f"ragged={dec.ragged} G={dec._ragged_G(B)} "
           f"buckets={dec._ragged_buckets()}", flush=True)
     rng = np.random.default_rng(0)
-    noise = float(os.environ.get("NOISE", "2.5"))
+    noise = float(os.environ.get("NOISE", "0"))
     lb = make_plausible_loglikes(graph, P, B, T_HI + 8, snr=2.0, seed=0)
     lb += (rng.standard_normal(lb.shape) * noise).astype(np.float32)
     warm_lls = jnp.asarray(lb[:8])
@@ -142,8 +148,16 @@ def main():
         f2, rec = dec._frame_step_v4(fr_, ll, valid)
         return f2, jnp.sum(rec["pm"][:, :1].astype(jnp.float32))
 
+    def v4_nolat(fr_, ll):
+        f2, rec = dec_nolat._frame_step_v4(fr_, ll, valid)
+        return f2, jnp.sum(rec["pm"][:, :1].astype(jnp.float32))
+
     def v4_ragged(fr_, ll):
         f2, rec = dec._frame_step_v4_ragged(fr_, ll, valid)
+        return f2, jnp.sum(rec["pm"][:, :1].astype(jnp.float32))
+
+    def v4_ragged_nolat(fr_, ll):
+        f2, rec = dec_nolat._frame_step_v4_ragged(fr_, ll, valid)
         return f2, jnp.sum(rec["pm"][:, :1].astype(jnp.float32))
 
     stages = os.environ.get(
@@ -153,6 +167,7 @@ def main():
         "rows": rows_only, "rows+unpack": rows_unpack,
         "+acoustic": acoustic_only, "expand": expand_only,
         "exp+sortA": exp_sortA, "v4-full": v4_full, "v4-ragged": v4_ragged,
+        "v4-nolat": v4_nolat, "v4-ragged-nolat": v4_ragged_nolat,
     }
     for s in stages:
         slope(s, mk(fns[s]), dec, lls_hi, fr)

@@ -34,11 +34,78 @@ def _resolve_model_path(model_path=None, model_name=None, lang=None):
                 return Path(directory, entry)
             if lang is not None and match(rf"vosk-model(-small)?-{lang}", entry):
                 return Path(directory, entry)
+    # model-zoo resolution (reference python/vosk/__init__.py:61-121):
+    # name/lang -> model-list.json -> zip download -> cache dir.  Gated
+    # behind VOSK_TPU_ALLOW_DOWNLOAD because the build/CI environment has
+    # zero egress; the resolver logic is real and unit-tested against a
+    # faked transport (tests/test_download.py).
+    if os.environ.get("VOSK_TPU_ALLOW_DOWNLOAD"):
+        p = _download_model(model_name=model_name, lang=lang)
+        if p is not None:
+            return p
     what = model_name if model_name is not None else lang
     raise Exception(
-        f"model {what} does not exist (downloads are not available; set "
-        "VOSK_MODEL_PATH or pass model_path)"
+        f"model {what} does not exist (downloads are disabled; set "
+        "VOSK_MODEL_PATH / pass model_path, or export "
+        "VOSK_TPU_ALLOW_DOWNLOAD=1 on a host with network access)"
     )
+
+
+MODEL_PRE_URL = "https://alphacephei.com/vosk/models/"
+MODEL_LIST_URL = MODEL_PRE_URL + "model-list.json"
+
+
+def list_models(urlopen=None):
+    """The zoo index (reference list_models, __init__.py:34)."""
+    import json as _json
+    from urllib.request import urlopen as _urlopen
+
+    with (urlopen or _urlopen)(MODEL_LIST_URL) as r:
+        return _json.loads(r.read().decode("utf-8"))
+
+
+def _download_model(model_name=None, lang=None, urlopen=None,
+                    urlretrieve=None):
+    """Resolve a zoo model by exact name or by language (smallest
+    non-obsolete per-lang model, matching the reference's policy at
+    python/vosk/__init__.py:83-97), download the zip into the first
+    writable MODEL_DIRS cache entry, unpack, and return the directory."""
+    import zipfile
+    from pathlib import Path
+    from urllib.request import urlretrieve as _urlretrieve
+
+    models = list_models(urlopen=urlopen)
+    if model_name is not None:
+        found = [m["name"] for m in models if m["name"] == model_name]
+    else:
+        found = [
+            m["name"] for m in models
+            if m.get("lang") == lang and m.get("type") == "small"
+            and str(m.get("obsolete", "false")) == "false"
+        ]
+    if not found:
+        return None
+    name = found[0]
+    cache = None
+    for directory in MODEL_DIRS:
+        if directory is None:
+            continue
+        try:
+            Path(directory).mkdir(parents=True, exist_ok=True)
+            cache = Path(directory)
+            break
+        except OSError:
+            continue
+    if cache is None:
+        return None
+    target = cache / name
+    if not target.exists():
+        zpath = str(target) + ".zip"
+        (urlretrieve or _urlretrieve)(MODEL_PRE_URL + name + ".zip", zpath)
+        with zipfile.ZipFile(zpath) as z:
+            z.extractall(cache)
+        os.remove(zpath)
+    return target
 
 
 class Model:
@@ -146,8 +213,8 @@ def GpuThreadInit() -> None:
     """No-op: jax manages per-thread device state (vosk_api.h:303-308)."""
 
 
-def list_models():
-    """List locally available models (no network in this build)."""
+def list_local_models():
+    """List locally cached model directories."""
     for directory in MODEL_DIRS:
         if directory is None or not Path(directory).exists():
             continue
@@ -155,8 +222,12 @@ def list_models():
             print(entry)
 
 
-def list_languages():
-    print("(model downloads unavailable; list local models with list_models())")
+def list_languages(urlopen=None):
+    """Languages available in the zoo index (reference list_languages)."""
+    langs = sorted({m.get("lang", "?") for m in list_models(urlopen=urlopen)})
+    for lang in langs:
+        print(lang)
+    return langs
 
 
 from .runtime.batch import BatchModel, BatchRecognizer  # noqa: E402,F401

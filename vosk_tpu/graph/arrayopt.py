@@ -58,7 +58,7 @@ def _dedup_min(src, dst, w):
 
 
 def eps_closure_arrays(
-    g: DecodingGraph, max_iters: int = 12
+    g: DecodingGraph, max_iters: int = 4096
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Weighted closure over UNLABELED eps arcs, restricted to useful
     targets.
@@ -385,13 +385,25 @@ def prepare_graph_v4(g: DecodingGraph, M: int = 8) -> DecodingGraph:
     g2 = remove_epsilons_arrays(g)
     if g2.num_eps_arcs == 0:
         try:
-            g2 = cap_degree_pred_dup(g2, M)
+            return cap_degree_pred_dup(g2, M)
         except ValueError:
-            # degree capping diverged at this M: try doubling once, else
-            # keep the uncapped (still eps-free) graph — the padded layout
-            # just uses the larger max_em_out
+            # degree capping diverged at this M: try doubling once
             try:
-                g2 = cap_degree_pred_dup(g2, 2 * M)
+                return cap_degree_pred_dup(g2, 2 * M)
             except ValueError:
                 pass
+    # capping failed (cyclic high-degree cores — pred-dup cannot converge
+    # there) or labeled eps arcs remain.  Epsilon removal can FAN degrees
+    # up dramatically on LM-backoff structures (r5: a 600-word trie graph
+    # went 16 -> 42 max degree, 0.09M -> 1.4M arcs); when the blowup is
+    # severe, prefer the ORIGINAL graph: its (tree-shaped, shallow) eps
+    # arcs are handled exactly by the padded eps-closure rounds, and the
+    # dense layout keeps the small M.  Mild growth keeps the eps-free
+    # graph (it still unlocks the single-phase v4 step).
+    # scale guard: on small graphs the wider rows are cheap and the
+    # eps-free single-phase step always wins; the blowup only matters at
+    # production scale where E = K*M drives the per-frame cost.
+    if (g2.num_states >= 50_000
+            and g2.max_em_out > max(16, 2 * max(g.max_em_out, M))):
+        return g
     return g2

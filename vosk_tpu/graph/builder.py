@@ -45,27 +45,58 @@ class Lexicon:
     silence_phone: int = 0          # 0 = no optional silence
     silence_cost: float = 0.7       # -log P(sil) between words
     no_silence_cost: float = 0.7
+    # label_last: emit the word olabel on the LAST phone arc and share
+    # pronunciation PREFIXES in a trie.  A flat per-word lexicon gives the
+    # root a vocabulary-sized out-degree, which (a) defeats the dense
+    # padded arc layout and (b) after load-time epsilon removal fans LM
+    # backoff targets into ~vocab/M-degree states (r5 finding at the
+    # 600-word corpus).  The trie keeps every state's out-degree at
+    # O(#phones).  Word timing anchors then sit at word END; consumers
+    # realign via word-boundary info / pdf alignment (the reference also
+    # realigns, WordAlignLattice at recognizer.cc:435).
+    label_last: bool = False
 
 
 def make_lexicon_fst(lex: Lexicon) -> StdFst:
-    """L: phones in, words out, with optional inter-word silence loop."""
+    """L: phones in, words out, with optional inter-word silence loop.
+
+    label_last=False: per-word linear chains, olabel on the first arc
+    (word anchors at word start — legacy layout).
+    label_last=True: pronunciation-prefix trie, olabel on the last arc.
+    """
     f = StdFst()
     root = f.add_state()
     f.set_start(root)
     f.set_final(root, 0.0)
     if lex.silence_phone:
         f.add_arc(root, lex.silence_phone, EPSILON, lex.silence_cost, root)
+    if not lex.label_last:
+        for wid, prons in lex.prons.items():
+            for pron in prons:
+                prev = root
+                for i, p in enumerate(pron):
+                    ol = wid if i == 0 else EPSILON
+                    if i == len(pron) - 1:
+                        f.add_arc(prev, p, ol, 0.0, root)
+                    else:
+                        s = f.add_state()
+                        f.add_arc(prev, p, ol, 0.0, s)
+                        prev = s
+        return f
+    # trie: one state per pronunciation prefix; final arcs (last phone,
+    # word label) return to root.  Homophones become parallel final arcs.
+    node: Dict[Tuple[int, ...], int] = {(): root}
     for wid, prons in lex.prons.items():
         for pron in prons:
-            prev = root
-            for i, p in enumerate(pron):
-                ol = wid if i == 0 else EPSILON
-                if i == len(pron) - 1:
-                    f.add_arc(prev, p, ol, 0.0, root)
-                else:
+            prefix: Tuple[int, ...] = ()
+            for p in pron[:-1]:
+                nxt = prefix + (int(p),)
+                if nxt not in node:
                     s = f.add_state()
-                    f.add_arc(prev, p, ol, 0.0, s)
-                    prev = s
+                    f.add_arc(node[prefix], p, EPSILON, 0.0, s)
+                    node[nxt] = s
+                prefix = nxt
+            f.add_arc(node[prefix], pron[-1], wid, 0.0, root)
     return f
 
 

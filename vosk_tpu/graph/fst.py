@@ -148,10 +148,15 @@ class DecodingGraph:
         return len(self.eps_next)
 
 
-def _eps_closure_depth(fst: StdFst, cap: int = 10) -> int:
+def _eps_closure_depth(fst: StdFst, cap: int = 64) -> int:
     """Longest acyclic epsilon out-chain (capped).  With weighted epsilon
     cycles the closure converges anyway; the decoder also re-checks
-    convergence, this is just the static iteration bound."""
+    convergence, this is just the static iteration bound.
+
+    Hitting the cap is LOUD: a capped depth means the decoder's per-frame
+    closure rounds cannot reach the deepest eps chains and paths would be
+    silently lost (r5 finding: a 119-deep chain from the old linear
+    split_high_degree broke 600-word decodes)."""
     n = fst.num_states
     eps_adj: list[list[int]] = [[] for _ in range(n)]
     for s in range(n):
@@ -169,13 +174,23 @@ def _eps_closure_depth(fst: StdFst, cap: int = 10) -> int:
                     changed = True
         if not changed:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"epsilon-closure depth exceeds the cap ({cap}); the decoder "
+            "runs only that many closure rounds per frame and may lose "
+            "paths — restructure the graph (split_high_degree now builds "
+            "log-depth trees) or raise eps_depth_cap",
+            stacklevel=2,
+        )
     return int(depth.max()) if n else 0
 
 
 def flatten_fst(
     fst: StdFst,
     ilabel_to_pdf: Optional[np.ndarray] = None,
-    eps_depth_cap: int = 10,
+    eps_depth_cap: int = 64,
 ) -> DecodingGraph:
     """Flatten a host FST into the decoder's CSR tables.
 

@@ -125,15 +125,21 @@ def remove_epsilons(fst: StdFst, max_expansion: int = 64) -> StdFst:
     return out
 
 
-def split_high_degree(fst: StdFst, max_out: int) -> StdFst:
-    """Cap per-state emitting out-degree at max_out by chaining overflow arcs
-    onto virtual states connected with zero-cost eps arcs.
+def split_high_degree(fst: StdFst, max_out: int, eps_fan: int = 16) -> StdFst:
+    """Cap per-state emitting out-degree at max_out by fanning overflow arcs
+    onto virtual states connected with zero-cost eps arcs in a balanced
+    TREE (fan-out `eps_fan`), so the eps-closure depth added per split is
+    O(log_fan(degree)) — NOT O(degree).
+
+    The round-4 version chained parts linearly: a 600-arc LM hub produced a
+    119-deep eps chain, silently exceeding both the decoder's closure-round
+    bound and the load-time closure iteration cap, and decode lost paths
+    (caught by the 600-word WER corpus, tests/test_wer_bigvocab.py).
 
     The decoder's eps closure activates virtual states in the same frame
     their parent enters the frontier, so the next emitting expansion covers
     all arcs.  (Requires the decoder's eps phase, or a subsequent
-    remove_epsilons call would undo the split — use for CSR-free layouts
-    only with eps handling on.)
+    remove_epsilons call — which handles the tree exactly.)
     """
     out = StdFst()
     out.add_states(fst.num_states)
@@ -146,14 +152,26 @@ def split_high_degree(fst: StdFst, max_out: int) -> StdFst:
         eps = [a for a in fst.arcs[s] if a[0] == EPSILON]
         for il, ol, w, ns in eps:
             out.add_arc(s, il, ol, w, ns)
-        cur = s
-        while len(em) > max_out - (1 if len(em) > max_out else 0):
-            head, em = em[: max_out - 1], em[max_out - 1 :]
-            for il, ol, w, ns in head:
-                out.add_arc(cur, il, ol, w, ns)
-            nxt = out.add_state()
-            out.add_arc(cur, EPSILON, EPSILON, 0.0, nxt)
-            cur = nxt
-        for il, ol, w, ns in em:
-            out.add_arc(cur, il, ol, w, ns)
+        if len(em) <= max_out:
+            for il, ol, w, ns in em:
+                out.add_arc(s, il, ol, w, ns)
+            continue
+        # leaves: virtual states carrying up to max_out emitting arcs each
+        level = []
+        for i in range(0, len(em), max_out):
+            leaf = out.add_state()
+            for il, ol, w, ns in em[i: i + max_out]:
+                out.add_arc(leaf, il, ol, w, ns)
+            level.append(leaf)
+        # internal tree levels: fan eps_fan children per parent
+        while len(level) > eps_fan:
+            nxt_level = []
+            for i in range(0, len(level), eps_fan):
+                parent = out.add_state()
+                for child in level[i: i + eps_fan]:
+                    out.add_arc(parent, EPSILON, EPSILON, 0.0, child)
+                nxt_level.append(parent)
+            level = nxt_level
+        for child in level:
+            out.add_arc(s, EPSILON, EPSILON, 0.0, child)
     return out

@@ -88,14 +88,20 @@ class BatchViterbi:
         pack: str = "auto",      # "exact3" | "packed16" | "auto"
         optimize_graph: bool = False,
         ragged: bool = True,     # live-prefix bucketed expansion (v4 only)
+        cap_m: Optional[int] = None,  # degree cap for optimize_graph
     ):
         if optimize_graph:
             # load-time transform: unlabeled-eps removal + pred-dup degree
             # capping (graph/arrayopt.py).  Min-plus exact; typically leaves
             # the graph eps-free, enabling the v4 single-phase frame step.
+            # cap_m tunes the dense-row width M: smaller rows shrink the
+            # per-frame arc-row gather and the candidate pool E=K*M
+            # (r5 profile: the gather is the dominant frame cost) at the
+            # price of more part-duplicated hub tokens.
             from ..graph.arrayopt import prepare_graph_v4
 
-            graph = prepare_graph_v4(graph, M=min(padded_max_out, 8))
+            graph = prepare_graph_v4(
+                graph, M=cap_m if cap_m else min(padded_max_out, 8))
         self.graph = graph
         self.params = params
         self.dedup = dedup
@@ -903,6 +909,54 @@ class BatchViterbi:
         sA = jax.lax.sort((cbits, nsm, pm), num_keys=1, dimension=1)
         return self._select_v4(frontier, sA, valid)
 
+    def _frame_step_v4_ragged_unrolled(self, frontier, ll, valid):
+        """_frame_step_v4_ragged with the G channel groups UNROLLED instead
+        of lax.scan'd: the groups are data-independent, so XLA can schedule
+        their (latency-bound, B/G-row) sort pipelines concurrently instead
+        of strictly sequentially.  Identical results; more compile time
+        (G copies of the bucket switch)."""
+        B, K = frontier["state"].shape
+        G = self._ragged_G(B)
+        if G <= 1:
+            return self._frame_step_v4(frontier, ll, valid)
+        Bg = B // G
+        buckets = self._ragged_buckets()
+
+        finite = jnp.isfinite(frontier["cost"])
+        rev_has = jnp.cumsum(finite[:, ::-1].astype(jnp.int32), axis=1) > 0
+        extent = jnp.sum(rev_has, axis=1)
+        order = jnp.argsort(-extent)
+        inv = jnp.argsort(order)
+
+        fr_p = {k: v[order] for k, v in frontier.items()}
+        ll_p = ll[order]
+        valid_p = valid[order]
+        ext_p = extent[order]
+        barr = jnp.asarray(np.asarray(buckets, np.int32))
+        bidx = jnp.clip(
+            jnp.searchsorted(barr, ext_p[:: Bg][:G], side="left"),
+            0, len(buckets) - 1,
+        )
+        branches = [
+            (lambda fr_g, ll_g, v_g, Kb=Kb:
+             self._frame_step_v4_bucket(fr_g, ll_g, v_g, Kb))
+            for Kb in buckets
+        ]
+        f2_parts, rec_parts = [], []
+        for g in range(G):
+            fr_g = {k: v[g * Bg: (g + 1) * Bg] for k, v in fr_p.items()}
+            f2_g, rec_g = jax.lax.switch(
+                bidx[g], branches, fr_g, ll_p[g * Bg: (g + 1) * Bg],
+                valid_p[g * Bg: (g + 1) * Bg],
+            )
+            f2_parts.append(f2_g)
+            rec_parts.append(rec_g)
+        f2 = {k: jnp.concatenate([p[k] for p in f2_parts], axis=0)[inv]
+              for k in f2_parts[0]}
+        rec = {k: jnp.concatenate([p[k] for p in rec_parts], axis=0)[inv]
+               for k in rec_parts[0]}
+        return f2, rec
+
     def _frame_step_v4_ragged(self, frontier, ll, valid):
         """v4 frame step with live-prefix bucketed expansion over channel
         groups — the TPU answer to data-dependent beam-search work (the
@@ -1326,7 +1380,11 @@ class BatchViterbi:
             if self.frame_step == "v4":
                 B = car["state"].shape[0]
                 if self._ragged_G(B) > 1:
-                    f2, rec = self._frame_step_v4_ragged(car, ll, v)
+                    if getattr(self, "ragged_unroll", False):
+                        f2, rec = self._frame_step_v4_ragged_unrolled(
+                            car, ll, v)
+                    else:
+                        f2, rec = self._frame_step_v4_ragged(car, ll, v)
                 else:
                     f2, rec = self._frame_step_v4(car, ll, v)
             elif self.layout == "padded":

@@ -33,6 +33,9 @@ class FusedPipeline:
         lattice_budget: Optional[int] = None,
         frame_step: str = "auto",
         optimize_graph: Optional[bool] = None,
+        cap_m: Optional[int] = None,
+        dedup_slack: Optional[float] = None,
+        ragged_unroll: bool = False,
     ):
         self.model = model
         self.B = batch
@@ -57,7 +60,10 @@ class FusedPipeline:
             silence_pdfs=model.silence_pdfs,
             frame_step=frame_step,
             optimize_graph=optimize_graph,
+            cap_m=cap_m,
+            **({"dedup_slack": dedup_slack} if dedup_slack else {}),
         )
+        self.dec.ragged_unroll = ragged_unroll
         self.rate = model.config.sample_rate
         self.chunk_samples = int(chunk_seconds * self.rate)
         self.F = self.ex.stream_max_frames(self.chunk_samples)
