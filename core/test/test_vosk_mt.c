@@ -95,10 +95,23 @@ int main(int argc, char **argv) {
     }
   }
   printf("RESULT %s\n", results[0]);
+  double scaling = (nthreads * audio_s / multi) / (audio_s / single);
   printf("THROUGHPUT single %.2f audio-s/s, %d threads %.2f audio-s/s "
          "(scaling x%.2f)\n",
-         audio_s / single, nthreads, nthreads * audio_s / multi,
-         (nthreads * audio_s / multi) / (audio_s / single));
+         audio_s / single, nthreads, nthreads * audio_s / multi, scaling);
+  /* N recognizers over one shared Model must overlap (the reference's
+   * threading contract, vosk_api.h:24-27): the shared decoder + jax's
+   * GIL-released device waits give real concurrency even through the
+   * embedded-CPython bridge (r5 measured x2.06 at 4 threads on 2 cores).
+   * Override the floor with VOSK_MT_MIN_SCALING (0 disables). */
+  double min_scaling = 1.5;
+  const char *ms = getenv("VOSK_MT_MIN_SCALING");
+  if (ms) min_scaling = atof(ms);
+  if (nthreads >= 4 && min_scaling > 0 && scaling < min_scaling) {
+    fprintf(stderr, "FAIL: scaling x%.2f below required x%.2f\n",
+            scaling, min_scaling);
+    return 3;
+  }
   vosk_model_free(model);
   free(wav_data);
   return 0;

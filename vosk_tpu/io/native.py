@@ -108,6 +108,49 @@ class NativeModel:
         self.phone_of_pdf = phone_of_pdf
         self.silence_pdfs = silence_pdfs
         self.topology = topology
+        import threading
+
+        self._decoder_cache: dict = {}
+        self._decoder_lock = threading.Lock()
+
+    def shared_decoder(self, graph=None, cache_key=None, **kw):
+        """A BatchViterbi over this model's graph, shared across
+        recognizers — the reference's core architectural property (one
+        immutable Model, N cheap Recognizers; model.cc:343-354).  Building
+        a decoder runs the load-time graph transform and owns a jit cache,
+        so per-recognizer construction was seconds of redundant work.
+
+        graph/cache_key: runtime-grammar recognizers pass their recomposed
+        graph with a grammar-string key; the main graph uses key None.
+        """
+        from ..ops.viterbi import BatchViterbi, DecodeParams
+
+        key = (
+            cache_key,
+            self.config.beam, self.config.max_active,
+            self.config.lattice_beam, self.config.acoustic_scale,
+            tuple(sorted(kw.items())),
+        )
+        with self._decoder_lock:
+            dec = self._decoder_cache.get(key)
+            if dec is None:
+                dec = BatchViterbi(
+                    graph if graph is not None else self.graph,
+                    DecodeParams(
+                        beam=self.config.beam,
+                        max_active=self.config.max_active,
+                        lattice_beam=self.config.lattice_beam,
+                        acoustic_scale=self.config.acoustic_scale,
+                    ),
+                    lattice_records=True,
+                    silence_pdfs=self.silence_pdfs,
+                    frame_step="auto",
+                    pack="packed16",
+                    optimize_graph=True,
+                    **kw,
+                )
+                self._decoder_cache[key] = dec
+        return dec
 
     def make_am(self):
         """Instantiate the streaming acoustic model (native TDNN-F weights or

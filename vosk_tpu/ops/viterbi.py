@@ -97,11 +97,14 @@ class BatchViterbi:
             # cap_m tunes the dense-row width M: smaller rows shrink the
             # per-frame arc-row gather and the candidate pool E=K*M
             # (r5 profile: the gather is the dominant frame cost) at the
-            # price of more part-duplicated hub tokens.
+            # price of more part-duplicated hub tokens.  Default M=4:
+            # measured +52% decode throughput at the honest bench point
+            # (101.8 -> 155 audio-s/s/chip) and exact (min-plus preserving;
+            # word parity vs the v3 oracle in tests/test_wer_parity.py).
             from ..graph.arrayopt import prepare_graph_v4
 
             graph = prepare_graph_v4(
-                graph, M=cap_m if cap_m else min(padded_max_out, 8))
+                graph, M=cap_m if cap_m else min(padded_max_out, 4))
         self.graph = graph
         self.params = params
         self.dedup = dedup
@@ -215,6 +218,13 @@ class BatchViterbi:
         self._table_keys = table_keys
         self.tables = {k: getattr(self, k) for k in table_keys}
         self._decode_jit = jax.jit(self._decode_entry)
+        # decoders are shared across recognizer threads (one Model, N
+        # recognizers): _decode_entry rebinds self attributes during
+        # tracing, so dispatch is serialized under this lock (execution
+        # stays async on device; only the enqueue path is locked)
+        import threading
+
+        self._dispatch_lock = threading.RLock()
 
     def clone_with_max_active(self, k: int) -> "BatchViterbi":
         """A decoder over the SAME graph tables with a smaller max_active.
@@ -241,6 +251,9 @@ class BatchViterbi:
                                      | (e_ids % self.M))
         c._init_states, c._init_costs, c._init_prefixes = c._initial_closure()
         c._decode_jit = jax.jit(c._decode_entry)
+        import threading
+
+        c._dispatch_lock = threading.RLock()
         return c
 
     def resize_frontier(self, frontier, k_new: int):
@@ -1420,7 +1433,8 @@ class BatchViterbi:
     def decode_chunk(self, frontier, loglikes, valid=None):
         if valid is None:
             valid = jnp.ones(loglikes.shape[:2], bool)
-        return self._decode_jit(self.tables, frontier, loglikes, valid)
+        with self._dispatch_lock:
+            return self._decode_jit(self.tables, frontier, loglikes, valid)
 
     # ------------------------------------------------- sharded-frontier mode
 

@@ -71,22 +71,14 @@ class Recognizer:
         # same decoder configuration as BatchPipeline (runtime/batch.py) so
         # the single-stream and batch entry points score identically: the
         # v4 single-phase frame step on the optimized (eps-free) graph with
-        # f16-packed arc rows — the round-3 2.4x throughput win now applies
-        # to streaming latency too.  v3 remains available as a test oracle
-        # via frame_step="v3" (tests/test_viterbi_v4.py parity suite).
-        self.dec = BatchViterbi(
-            self.graph,
-            DecodeParams(
-                beam=model.config.beam,
-                max_active=model.config.max_active,
-                lattice_beam=model.config.lattice_beam,
-                acoustic_scale=model.config.acoustic_scale,
-            ),
-            lattice_records=True,
-            silence_pdfs=model.silence_pdfs,
-            frame_step="auto",
-            pack="packed16",
-            optimize_graph=True,
+        # f16-packed arc rows.  The decoder is SHARED across recognizers of
+        # the same model (NativeModel.shared_decoder): one graph transform
+        # and one jit cache per model, so creating the N-th recognizer is
+        # cheap — the reference's one-Model/N-Recognizers property
+        # (model.cc:343-354, vosk_api.h:24-27).
+        self.dec = model.shared_decoder(
+            graph=self.graph if self._grammar_info is not None else None,
+            cache_key=grammar if self._grammar_info is not None else None,
         )
         from .finishing import Finisher
 
