@@ -90,3 +90,34 @@ def test_chain_trained_toy_model_decodes():
         rec.AcceptWaveform(np.clip(wav, -32768, 32767).astype("<i2"))
         hyps.append(json.loads(rec.FinalResult())["text"].split())
     assert score_corpus(refs, hyps).wer <= 0.15, (refs, hyps)
+
+
+def test_leaky_hmm_adds_paths_and_keeps_bound():
+    """leaky-HMM (Kaldi leaky_hmm_coefficient): the denominator with a
+    leak accepts strictly more path mass, and the num <= den bound holds
+    with the leak enabled."""
+    import jax
+    import jax.numpy as jnp
+    from vosk_tpu.models.chain import (DenominatorGraph, chain_objective,
+                                       den_logprob, num_logprob)
+
+    rng = np.random.default_rng(3)
+    S, B, T = 6, 4, 12
+    labels = rng.integers(0, S, (B, T))
+    den0 = DenominatorGraph.from_alignments(labels, S)
+    den1 = DenominatorGraph.from_alignments(labels, S)
+    den1.leaky_hmm = 0.1
+    ll = jnp.asarray(rng.standard_normal((B, T, S)).astype(np.float32))
+    d0 = np.asarray(den_logprob(den0, ll))
+    d1 = np.asarray(den_logprob(den1, ll))
+    assert (d1 >= d0 - 1e-5).all()  # leak only adds mass
+    num = np.asarray(num_logprob(den1, ll, jnp.asarray(labels)))
+    assert (num <= d1 + 1e-4).all()
+
+    # gradient still improves the objective with the leak on
+    def loss(x):
+        return chain_objective(den1, x, jnp.asarray(labels))[0]
+
+    l0 = float(loss(ll))
+    g = jax.grad(loss)(ll)
+    assert float(loss(ll - 0.5 * g)) < l0

@@ -19,8 +19,10 @@ the same objective with the TPU-shaped design:
     linear FSA — Kaldi's numerator is a small alignment lattice; the fixed
     alignment is the standard simplification and is exact when alignments
     come from the same topology
-  * leaky-HMM is not applied (documented deviation; it is a numerical aid
-    for deep graphs, not a modeling change)
+  * leaky-HMM is applied as a per-frame rank-1 leak through a virtual
+    hub distributed by the initial probabilities (Kaldi's
+    leaky_hmm_coefficient, default 0.1) — in the prob-space recursion it
+    composes with the transition matmul at no extra MXU cost
   * cross-entropy regularization (Kaldi --xent-regularize 0.1) uses the
     same output head with a small weight.
 
@@ -54,6 +56,10 @@ class DenominatorGraph:
     trans: np.ndarray  # [S, S] probabilities
     init: np.ndarray   # [S]
     final: np.ndarray  # [S]
+    # leaky-HMM coefficient (Kaldi default 0.1): per-frame rank-1 leak
+    # through a virtual hub distributed by `init`, the numerical aid the
+    # reference recipe applies to the denominator recursion
+    leaky_hmm: float = 0.0
 
     @classmethod
     def from_alignments(
@@ -104,9 +110,16 @@ def den_logprob(den: DenominatorGraph, ll: jnp.ndarray) -> jnp.ndarray:
     n0 = jnp.sum(a0, axis=1)
     a0 = a0 / n0[:, None]
     logscale0 = s0 + jnp.log(n0)
+    leaky = float(getattr(den, "leaky_hmm", 0.0))
 
     def step(car, ll_t):
         a, logscale = car
+        if leaky > 0.0:
+            # leaky-HMM (Kaldi chain-denominator-graph leaky_hmm_coefficient,
+            # default 0.1): every state leaks mass through a virtual hub
+            # distributed by the initial probabilities — a rank-1 update,
+            # so the transition step stays one MXU matmul
+            a = a + leaky * jnp.sum(a, axis=1, keepdims=True) * init[None, :]
         m = jnp.max(ll_t, axis=1, keepdims=True)
         e = jnp.exp(ll_t - m)
         a2 = (a @ T) * e                     # MXU matmul + emission
@@ -168,6 +181,7 @@ def train_chain(
     training/run.sh stage 4; same API shape as train_frame_ce)."""
     if den is None:
         den = DenominatorGraph.from_alignments(labels, cfg.num_pdfs)
+        den.leaky_hmm = 0.1  # reference recipe default (run_tdnn.sh)
     params = jax.tree_util.tree_map(jnp.asarray, init_params(cfg, seed))
     model = TdnnfModel(cfg, params)
     opt = optax.adam(lr)
