@@ -74,6 +74,12 @@ def run_config(B, states, seconds, max_active, *, realistic, lattice,
     pipe = FusedPipeline(
         model,
         batch=B,
+        # 0.48 s device chunks: the scan length per chunk is the WORST-case
+        # AM output slots; at 0.2 s chunks ~17% of decode steps are masked
+        # boundary padding that still pays the full frame step, at 0.48 s
+        # it's ~6% (the streaming Recognizer keeps its own 0.2 s latency
+        # path — this is the batch-throughput surface)
+        chunk_seconds=float(os.environ.get("VOSK_TPU_BENCH_CHUNK", "0.48")),
         collect_records=lattice,
         lattice_records=lattice,
         frame_step=os.environ.get("VOSK_TPU_BENCH_STEP", "auto"),

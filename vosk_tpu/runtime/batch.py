@@ -47,31 +47,12 @@ class BatchPipeline:
         self.rules = model.endpoint_rules()
         self.ex = model.feature_extractor()
         self.am = model.make_am()
-        # frame_step "auto": eps-free graphs (after the exact load-time
-        # transforms) take the v4 single-phase frame step — the production
-        # throughput path; records start at utterance start per segment so
-        # the host-side v4 record adapters apply directly
-        self.dec = BatchViterbi(
-            model.graph,
-            DecodeParams(
-                beam=model.config.beam,
-                max_active=model.config.max_active,
-                lattice_beam=model.config.lattice_beam,
-                acoustic_scale=model.config.acoustic_scale,
-            ),
-            silence_pdfs=model.silence_pdfs,
-            lattice_records=True,
-            frame_step="auto",
-            # DELIBERATE: f16-quantized graph weights (~2^-11 relative cost
-            # error) halve arc-row gather bytes on the hot path.  The
-            # streaming Recognizer uses the same setting so batch and
-            # streaming entry points score identically; host lattice
-            # reconstruction uses the f16-rounded dense views, so host and
-            # device costs match exactly.  Set pack="exact3" for
-            # full-precision weights at ~1.4x the frame-step cost.
-            pack="packed16",
-            optimize_graph=True,
-        )
+        # shared per-model decoder (NativeModel.shared_decoder): the same
+        # v4 single-phase step + packed16 f16-quantized graph weights the
+        # streaming Recognizer uses, so batch and streaming entry points
+        # score identically — and the graph transform/jit cache is built
+        # once per model, not per pipeline.
+        self.dec = model.shared_decoder()
         from .finishing import Finisher
 
         self._finisher = Finisher(model, self.dec)
