@@ -253,11 +253,13 @@ def main() -> None:
             "value": round(adaptive, 1),
             "measure": astats,
             "config": {
-                "note": "adaptive max-active ladder 1024/2048/4096/7000, "
-                        "step on live>0.75K per 0.8s segment; can "
-                        "transiently decode one segment at a tighter "
-                        "max_active (WER-parity-tested on the toy corpus, "
-                        "tests/test_wer_parity.py)",
+                "note": "adaptive max-active ladder 1024/2048/4096/7000; "
+                        "initial rung follows the carried frontier's live "
+                        "count (r5 fix), so at the saturated measured "
+                        "regime the ladder sits at 7000 and matches "
+                        "fixed-K; its advantage appears in easier "
+                        "regimes (WER-parity-tested, tests/"
+                        "test_wer_parity.py + test_wer_bigvocab.py)",
             },
         }
     if easy is not None:

@@ -210,7 +210,16 @@ class FusedPipeline:
         T = audio.shape[0]
         if n_samples is None:
             n_samples = jnp.full(audio.shape[:2], audio.shape[2], jnp.int32)
-        cur = 0  # utterances start from the initial closure: few live tokens
+        # initial rung from the INCOMING frontier's live count: fresh
+        # utterances (initial closure, few live tokens) start small, but a
+        # carried mid-stream frontier must not be truncated to the lowest
+        # rung (that would silently tighten max_active for a whole first
+        # segment on every call)
+        live0 = int(self.dec.live_tokens(state["frontier"]).max())
+        cur = next(
+            (i for i, d in enumerate(decs) if live0 <= headroom * d.K),
+            len(decs) - 1,
+        )
         recs_out, best_out = [], []
         for t0 in range(0, T, seg):
             t1 = min(t0 + seg, T)
