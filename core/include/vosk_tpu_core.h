@@ -87,6 +87,14 @@ int32_t vt_lattice_nbest(VtLattice *lat, int32_t n, int32_t distinct,
                          VtWord *out_words, int32_t cap, int32_t *out_sizes,
                          float *out_costs, int32_t max_paths);
 
+/* MBR sausage decoding (the reference MbrResult algorithm, Kaldi
+ * lat/sausages.cc): one-best words re-estimated from sausage-bin
+ * posteriors, with bin confidences and expected frame times.  Returns
+ * word count written (<= cap), -1 on failure; *out_cost = lattice
+ * best-path cost. */
+int32_t vt_lattice_mbr(VtLattice *lat, VtWord *out_words, int32_t cap,
+                       float *out_cost);
+
 #ifdef __cplusplus
 }
 #endif

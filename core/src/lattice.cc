@@ -11,6 +11,7 @@
 #include "vosk_tpu_core.h"
 
 #include <algorithm>
+#include <array>
 #include <cmath>
 #include <cstring>
 #include <limits>
@@ -440,6 +441,196 @@ int32_t vt_lattice_nbest(VtLattice *lat, int32_t n, int32_t distinct,
     }
   }
   return written_paths;
+}
+
+/* MBR sausage decoding — native port of vosk_tpu/graph/mbr.py (the
+ * expected-edit-distance recursion of Xu/Povey 2011 behind Kaldi's
+ * MinimumBayesRisk, used by the reference's MbrResult at
+ * recognizer.cc:440-444).  Returns word count written (<= cap), -1 on
+ * failure; out_cost gets the lattice best-path cost. */
+int32_t vt_lattice_mbr(VtLattice *lat, VtWord *out_words, int32_t cap,
+                       float *out_cost) {
+  const int32_t N0 = lat->num_nodes();
+  if (N0 == 0) return -1;
+
+  /* ---- best path (initial R) via min-cost DP */
+  std::vector<double> d(N0, kInf);
+  std::vector<int32_t> back(N0, -1);
+  d[0] = 0.0;
+  for (int32_t u = 0; u < N0; u++) {
+    if (!std::isfinite(d[u])) continue;
+    for (int32_t ai : lat->out[u]) {
+      const Arc &a = lat->arcs[ai];
+      double c = (double)a.graph_cost + (double)a.acoustic_cost;
+      if (d[u] + c < d[a.dst]) {
+        d[a.dst] = d[u] + c;
+        back[a.dst] = ai;
+      }
+    }
+  }
+  double best = kInf;
+  int32_t bend = -1;
+  for (int32_t u = 0; u < N0; u++)
+    if (std::isfinite(lat->final_cost[u]) &&
+        d[u] + lat->final_cost[u] < best) {
+      best = d[u] + lat->final_cost[u];
+      bend = u;
+    }
+  if (bend < 0) return -1;
+  if (out_cost) *out_cost = (float)best;
+  std::vector<int32_t> R;
+  for (int32_t v = bend; back[v] >= 0; v = lat->arcs[back[v]].src)
+    if (lat->arcs[back[v]].olabel != 0) R.push_back(lat->arcs[back[v]].olabel);
+  std::reverse(R.begin(), R.end());
+
+  /* ---- word graph with a super-final node */
+  struct WArc { int32_t src, dst, w; double c; int32_t f0, f1; };
+  const int32_t FINAL = N0, N = N0 + 1;
+  std::vector<WArc> arcs;
+  arcs.reserve(lat->arcs.size() + N0);
+  for (const Arc &a : lat->arcs)
+    arcs.push_back({a.src, a.dst, a.olabel,
+                    (double)a.graph_cost + (double)a.acoustic_cost,
+                    lat->node_frame[a.src], lat->node_frame[a.dst]});
+  for (int32_t u = 0; u < N0; u++)
+    if (std::isfinite(lat->final_cost[u]))
+      arcs.push_back({u, FINAL, 0, (double)lat->final_cost[u],
+                      lat->node_frame[u], lat->node_frame[u]});
+  std::vector<std::vector<int32_t>> pre(N);
+  for (size_t i = 0; i < arcs.size(); i++) pre[arcs[i].dst].push_back((int32_t)i);
+
+  auto lse = [](double a, double b) {
+    if (a == -kInf) return b;
+    if (b == -kInf) return a;
+    double m = std::max(a, b);
+    return m + std::log1p(std::exp(-std::fabs(a - b)));
+  };
+  std::vector<double> alpha(N, -kInf);
+  alpha[0] = 0.0;
+  for (int32_t n = 1; n < N; n++) {
+    double acc = -kInf;
+    for (int32_t ai : pre[n]) {
+      const WArc &a = arcs[ai];
+      if (alpha[a.src] != -kInf) acc = lse(acc, alpha[a.src] - a.c);
+    }
+    alpha[n] = acc;
+  }
+  if (alpha[FINAL] == -kInf) return -1;
+
+  auto edit = [](int32_t a, int32_t b) { return a == b ? 0.0 : 1.0; };
+
+  std::vector<int32_t> Rp;
+  std::vector<std::map<int32_t, double>> gamma;
+  std::vector<std::array<double, 2>> tau;
+  for (int iter = 0; iter < 20; iter++) {
+    /* eps-interleave: Rp = eps r1 eps r2 ... eps */
+    Rp.clear();
+    Rp.push_back(0);
+    for (int32_t w : R) { Rp.push_back(w); Rp.push_back(0); }
+    const int32_t Q = (int32_t)Rp.size();
+
+    /* forward alpha_dash */
+    std::vector<std::vector<double>> ad(N, std::vector<double>(Q + 1, 0.0));
+    for (int32_t q = 1; q <= Q; q++)
+      ad[0][q] = ad[0][q - 1] + edit(0, Rp[q - 1]);
+    std::vector<std::vector<double>> arc_ad(arcs.size());
+    for (int32_t n = 1; n < N; n++) {
+      std::vector<double> row(Q + 1, 0.0);
+      for (int32_t ai : pre[n]) {
+        const WArc &a = arcs[ai];
+        if (alpha[a.src] == -kInf) continue;
+        double scale = std::exp(alpha[a.src] - a.c - alpha[n]);
+        std::vector<double> &v = arc_ad[ai];
+        v.assign(Q + 1, 0.0);
+        v[0] = ad[a.src][0] + edit(a.w, 0);
+        for (int32_t q = 1; q <= Q; q++) {
+          double a1 = ad[a.src][q - 1] + edit(a.w, Rp[q - 1]);
+          double a2 = ad[a.src][q] + edit(a.w, 0);
+          double a3 = v[q - 1] + edit(0, Rp[q - 1]);
+          v[q] = (a1 <= a2 && a1 <= a3) ? a1 : (a2 <= a3 ? a2 : a3);
+        }
+        for (int32_t q = 0; q <= Q; q++) row[q] += scale * v[q];
+      }
+      ad[n] = row;
+    }
+
+    /* backward occupancies + stats */
+    std::vector<std::vector<double>> bd(N, std::vector<double>(Q + 1, 0.0));
+    bd[FINAL][Q] = 1.0;
+    gamma.assign(Q, {});
+    tau.assign(Q, {0.0, 0.0});
+    for (int32_t n = N - 1; n >= 1; n--) {
+      for (int32_t ai : pre[n]) {
+        const WArc &a = arcs[ai];
+        if (alpha[a.src] == -kInf || arc_ad[ai].empty()) continue;
+        double scale = std::exp(alpha[a.src] - a.c - alpha[n]);
+        const std::vector<double> &v = arc_ad[ai];
+        double beta_arc = 0.0; /* deletion cascade from q+1 */
+        for (int32_t q = Q; q >= 0; q--) {
+          double b = bd[n][q] * scale + beta_arc;
+          beta_arc = 0.0;
+          if (b == 0.0) continue;
+          if (q == 0) { bd[a.src][0] += b; continue; }
+          double a1 = ad[a.src][q - 1] + edit(a.w, Rp[q - 1]);
+          double a2 = ad[a.src][q] + edit(a.w, 0);
+          double a3 = v[q - 1] + edit(0, Rp[q - 1]);
+          if (a1 <= a2 && a1 <= a3) {
+            bd[a.src][q - 1] += b;
+            gamma[q - 1][a.w] += b;
+            tau[q - 1][0] += b * a.f0;
+            tau[q - 1][1] += b * a.f1;
+          } else if (a2 <= a3) {
+            bd[a.src][q] += b;
+            if (a.w != 0) {
+              gamma[q - 1][a.w] += b;
+              tau[q - 1][0] += b * a.f0;
+              tau[q - 1][1] += b * a.f1;
+            }
+          } else {
+            beta_arc = b;
+            gamma[q - 1][0] += b;
+          }
+        }
+      }
+    }
+
+    /* re-estimate R from bin argmaxes */
+    std::vector<int32_t> Rn;
+    bool changed = false;
+    for (int32_t q = 1; q <= Q; q++) {
+      int32_t wbest = 0;
+      double pbest = -1.0;
+      for (const auto &kv : gamma[q - 1])
+        if (kv.second > pbest) {  /* std::map ascending: ties keep the
+                                      smallest word id, matching the
+                                      Python oracle's tie-break */
+          pbest = kv.second;
+          wbest = kv.first;
+        }
+      if (wbest != Rp[q - 1]) changed = true;
+      if (wbest != 0) Rn.push_back(wbest);
+    }
+    if (!changed) break;
+    R.swap(Rn);
+  }
+
+  /* ---- emit the non-eps positions */
+  int32_t nw = 0;
+  for (size_t q = 0; q < Rp.size() && nw < cap; q++) {
+    int32_t w = Rp[q];
+    if (w == 0) continue;
+    double mass = 0.0;
+    for (const auto &kv : gamma[q]) mass += kv.second;
+    double tb = tau[q][0], te = tau[q][1];
+    if (mass > 0) { tb /= mass; te /= mass; }
+    double conf = 0.0;
+    auto it = gamma[q].find(w);
+    if (it != gamma[q].end()) conf = std::min(it->second, 1.0);
+    int32_t f0 = (int32_t)std::lround(tb);
+    int32_t f1 = std::max((int32_t)std::lround(te), f0 + 1);
+    out_words[nw++] = {w, f0, f1, (float)conf};
+  }
+  return nw;
 }
 
 }  // extern "C"

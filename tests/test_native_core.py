@@ -99,3 +99,35 @@ def test_native_chunked(seed=7):
     nc, nitems = native[0]
     assert [w for w, _, _, _ in nitems] == ols_tb
     assert nc == pytest.approx(cost_tb, rel=1e-3, abs=1e-3)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 11, 23])
+def test_native_mbr_matches_python(seed):
+    """vt_lattice_mbr vs the Python MBR oracle (graph/mbr.py) on random
+    lattices: identical word sequence and matching bin confidences."""
+    from vosk_tpu.graph.mbr import mbr_decode
+
+    dec, fr, recs = setup_decode(seed)
+    native = native_lattice.mbr_native(
+        recs, fr, 0, dec, [], lattice_beam=20.0, graph_scale=0.9,
+    )
+    assert native is not None
+    cost_n, items_n = native
+
+    lat, _ = build_lattice(recs, fr, 0, dec)
+    lat.scale_graph(0.9)
+    lat = lat.prune(20.0)
+    words_p, _bins = mbr_decode(lat)
+    cost_p, _ = lat.shortest()
+
+    assert [w for w, *_ in items_n] == [w for w, *_ in words_p], (
+        items_n, words_p)
+    assert cost_n == pytest.approx(cost_p, abs=1e-3)
+    # the two lattice BUILDERS (C++ vt_lattice_build vs python
+    # build_lattice) split acoustic/graph costs with small float
+    # differences at prune boundaries, so bin posteriors match to ~1e-2,
+    # not ulps; the word sequence and best cost match exactly
+    for (w_n, f0_n, f1_n, c_n), (w_p, c_p, tb, te) in zip(items_n, words_p):
+        assert c_n == pytest.approx(c_p, abs=2e-2), (items_n, words_p)
+        assert abs(f0_n - int(round(tb))) <= 1
+        assert abs(f1_n - max(int(round(te)), f0_n + 1)) <= 1

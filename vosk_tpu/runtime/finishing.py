@@ -10,6 +10,20 @@ from __future__ import annotations
 from typing import List, Optional, Tuple
 
 
+def _viterbi_spans(ols_frames, n_frames, pdfs, sil):
+    """Word spans from a best-path alignment: word i runs from its anchor
+    frame to the next word's anchor (or path end), trailing silence
+    trimmed — the same rule finish_lattice applies to lattice paths."""
+    spans = []
+    for i, (_, f0) in enumerate(ols_frames):
+        f1 = ols_frames[i + 1][1] if i + 1 < len(ols_frames) else n_frames
+        f1 = max(f1, f0 + 1)
+        while f1 > f0 + 1 and f1 - 1 < len(pdfs) and pdfs[f1 - 1] in sil:
+            f1 -= 1
+        spans.append((f0, f1))
+    return spans
+
+
 class Finisher:
     """Holds per-model rescoring caches; thread-safe for concurrent reads."""
 
@@ -44,9 +58,44 @@ class Finisher:
         from . import native_lattice
 
         model, dec = self.model, self.dec
-        # n == 1 routes through finish_lattice for the MBR sausage decode
-        # (reference MbrResult); the native fast path extracts n-best
-        # alternatives, whose confidences are per-path (NbestResult).
+        # n == 1: MBR sausage decode (reference MbrResult) — native C++
+        # when the library is built, Python (graph/mbr.py) otherwise.
+        if (n == 1 and not self.rescoring and native_lattice.available()
+                and records):
+            got = native_lattice.mbr_native(
+                records, frontier, channel, dec, model.silence_pdfs,
+                lattice_beam=self.lattice_beam, graph_scale=0.9,
+                use_final=use_final, init_override=init_override,
+            )
+            if got is not None and got[1]:
+                cost, items = got
+                # span refinement: when the MBR words equal the Viterbi
+                # best path's words, realign spans from the traceback pdf
+                # alignment (the reference word-aligns the lattice before
+                # MBR, recognizer.cc:435)
+                tcost, ols_frames, pdfs = dec.traceback_with_frames(
+                    records, frontier, channel, use_final=use_final,
+                    at_start=init_override is None,
+                    init_states=None if init_override is None
+                    else init_override[0],
+                )
+                if [w for w, *_ in items] == [o for o, _ in ols_frames]:
+                    sil = set(int(x) for x in model.silence_pdfs)
+                    spans = _viterbi_spans(ols_frames, len(pdfs), pdfs, sil)
+                    items = [
+                        (w, f0, f1, conf)
+                        for (w, _, _, conf), (f0, f1) in zip(items, spans)
+                    ]
+                    if model.word_boundary:
+                        from .wordalign import realign_items
+
+                        items = realign_items(
+                            items, pdfs, model.phone_of_pdf,
+                            model.word_boundary,
+                        )
+                return [(cost, list(items))]
+        # n > 1 alternatives: native n-best fast path (NbestResult
+        # semantics — per-path confidences)
         if (n > 1 and not self.rescoring and native_lattice.available()
                 and records):
             out = native_lattice.nbest_native(

@@ -89,6 +89,13 @@ def _load() -> Optional[C.CDLL]:
                     C.POINTER(C.c_float),
                     C.c_int32,
                 ]
+                lib.vt_lattice_mbr.restype = C.c_int32
+                lib.vt_lattice_mbr.argtypes = [
+                    C.c_void_p,
+                    C.POINTER(VtWord),
+                    C.c_int32,
+                    C.POINTER(C.c_float),
+                ]
                 _LIB = lib
                 break
             except OSError:
@@ -123,7 +130,90 @@ def nbest_native(
     lib = _load()
     if lib is None or not records:
         return None
+    built = _marshal_and_build(
+        records, frontier, channel, dec, silence_pdfs, lattice_beam,
+        graph_scale, use_final, init_override,
+    )
+    if built is None:
+        return None
+    lat, holders = built
+    try:
+        max_paths = max(4 * n + 8, 8)
+        cap = max_paths * 256
+        words = (VtWord * cap)()
+        sizes = (C.c_int32 * max_paths)()
+        costs = (C.c_float * max_paths)()
+        got = lib.vt_lattice_nbest(
+            lat, n if not distinct else max_paths, 1 if distinct else 0,
+            words, cap, sizes, costs, max_paths
+        )
+        out = []
+        wi = 0
+        for i in range(got):
+            items = []
+            for j in range(sizes[i]):
+                w = words[wi]
+                items.append((w.word, w.start_frame, w.end_frame, float(w.conf)))
+                wi += 1
+            out.append((float(costs[i]), items))
+            if len(out) >= n:
+                break
+        return out
+    finally:
+        lib.vt_lattice_free(lat)
 
+
+def mbr_native(
+    records: List[dict],
+    frontier,
+    channel: int,
+    dec,
+    silence_pdfs,
+    lattice_beam: float,
+    graph_scale: float = 0.9,
+    use_final: bool = True,
+    init_override=None,
+) -> Optional[Tuple[float, List[Tuple[int, int, int, float]]]]:
+    """Native MBR sausage decode (vt_lattice_mbr): (cost, [(wid, f0, f1,
+    conf)]) with sausage-expected frame spans, or None when the library is
+    unavailable.  Python oracle: graph/mbr.py (parity-tested in
+    tests/test_native_core.py)."""
+    lib = _load()
+    if lib is None or not records:
+        return None
+    built = _marshal_and_build(
+        records, frontier, channel, dec, silence_pdfs, lattice_beam,
+        graph_scale, use_final, init_override,
+    )
+    if built is None:
+        return None
+    lat, holders = built
+    try:
+        cap = 4096
+        words = (VtWord * cap)()
+        cost = C.c_float(0.0)
+        got = lib.vt_lattice_mbr(lat, words, cap, C.byref(cost))
+        if got < 0:
+            return None
+        items = [
+            (words[i].word, words[i].start_frame, words[i].end_frame,
+             float(words[i].conf))
+            for i in range(got)
+        ]
+        return float(cost.value), items
+    finally:
+        lib.vt_lattice_free(lat)
+
+
+def _marshal_and_build(
+    records, frontier, channel, dec, silence_pdfs, lattice_beam,
+    graph_scale, use_final, init_override,
+):
+    """Marshal decoder records + graph views into VtRecords and build the
+    pruned native lattice; returns (lat, holders) or None."""
+    lib = _load()
+    if lib is None:
+        return None
     if "pm" in records[0]:
         from ..graph.lattice import convert_v4_records
 
@@ -222,31 +312,7 @@ def nbest_native(
     rec.silence_pdfs = _ptr(sil, C.c_int32)
     rec.num_silence_pdfs = len(sil)
 
-    # last-level frontier consistency: replace with the live frontier
     lat = lib.vt_lattice_build(C.byref(rec))
     if not lat:
         return None
-    try:
-        max_paths = max(4 * n + 8, 8)
-        cap = max_paths * 256
-        words = (VtWord * cap)()
-        sizes = (C.c_int32 * max_paths)()
-        costs = (C.c_float * max_paths)()
-        got = lib.vt_lattice_nbest(
-            lat, n if not distinct else max_paths, 1 if distinct else 0,
-            words, cap, sizes, costs, max_paths
-        )
-        out = []
-        wi = 0
-        for i in range(got):
-            items = []
-            for j in range(sizes[i]):
-                w = words[wi]
-                items.append((w.word, w.start_frame, w.end_frame, float(w.conf)))
-                wi += 1
-            out.append((float(costs[i]), items))
-            if len(out) >= n:
-                break
-        return out
-    finally:
-        lib.vt_lattice_free(lat)
+    return lat, holders
