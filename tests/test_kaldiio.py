@@ -318,3 +318,54 @@ def test_compressed_matrix_via_file(tmp_path):
         p, lambda w: w.write_compressed_matrix(m, fmt=1))
     got = kaldiio.read_kaldi_matrix(p)
     assert np.abs(got - m).max() < 0.2
+
+
+def test_nnet3_component_with_compressed_matrix():
+    """A real Kaldi final.mdl can ship component weight matrices
+    compressed (CM); the nnet3 reader must consume them through the
+    generic matrix dispatch.  Write a LinearComponent-style blob whose
+    matrix is CM-coded and evaluate against the uncompressed original."""
+    rng = np.random.default_rng(11)
+    m = (rng.standard_normal((6, 10)) * 2.0).astype(np.float32)
+
+    # read through the same BinaryReader path nnet3 uses (read_matrix)
+    buf = io.BytesIO()
+    w = kaldiio.BinaryWriter(buf)
+    w.write_compressed_matrix(m, fmt=1)
+    buf.seek(0)
+    r = kaldiio.BinaryReader(io.BufferedReader(io.BytesIO(buf.getvalue())))
+    got = r.read_matrix()
+    assert got.shape == m.shape
+    # format-1 per-column coding: fine everywhere except coarse tails
+    assert np.abs(got - m).max() < 0.35
+
+    # and a forward evaluation with the decompressed weights stays close
+    x = rng.standard_normal((4, 10)).astype(np.float32)
+    y_ref = x @ m.T
+    y_cm = x @ got.T
+    assert np.abs(y_cm - y_ref).max() < 1.0
+
+
+def test_global_cmvn_stats_compressed(tmp_path):
+    """model.cc:265-276 reads global CMVN stats; Kaldi often writes them
+    compressed.  The V2-layout loader path (read_kaldi_matrix) must accept
+    a CM-coded global_cmvn.stats."""
+    # Kaldi CMVN stats: [2, dim+1] (sums / sumsq with counts)
+    dim = 13
+    n = 1000.0
+    sums = np.linspace(-5, 5, dim) * n
+    sumsq = (np.linspace(1, 3, dim) ** 2) * n
+    stats = np.zeros((2, dim + 1), np.float32)
+    stats[0, :dim] = sums
+    stats[0, dim] = n
+    stats[1, :dim] = sumsq
+    p = tmp_path / "global_cmvn.stats"
+    kaldiio.write_kaldi_object(
+        p, lambda w: w.write_compressed_matrix(stats, fmt=1))
+    got = kaldiio.read_kaldi_matrix(p)
+    assert got.shape == stats.shape
+    # counts and means must survive the quantization usefully
+    assert abs(got[0, dim] - n) / n < 0.02
+    mean_ref = sums / n
+    mean_got = got[0, :dim] / got[0, dim]
+    assert np.abs(mean_got - mean_ref).max() < 0.2
